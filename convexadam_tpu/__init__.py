@@ -1,0 +1,20 @@
+"""convexadam_tpu — a TPU-native (JAX/XLA/Pallas) 3D medical image registration
+framework with the capabilities of multimodallearning/convexAdam.
+
+The framework implements the two-stage ConvexAdam registration method
+(global discrete "coupled convex" optimisation + local continuous Adam
+instance optimisation) re-designed for TPU hardware:
+
+* all compute-path code is pure JAX (jit/vmap/shard_map-safe, static shapes),
+* the hot kernels (MIND-SSC features, SSD cost volume, coupled-convex argmin)
+  have fused Pallas implementations,
+* the self-configuring hyperparameter search is vmapped over case pairs and
+  sharded over TPU meshes instead of process-per-GPU sweeps,
+* geometry-aware I/O (NIfTI/MetaImage, spacing/direction resampling) is a
+  dependency-free pure-numpy subsystem.
+
+Reference behaviour parity is documented per-function with file:line
+citations into the reference repository.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,124 @@
+"""Adam instance optimisation — the local continuous refinement stage.
+
+Reference: the per-case optimisation loop in src/convexAdam/convex_adam_MIND.py:147-191.
+The only trainable parameter is a low-resolution displacement grid (the
+reference wraps it in a dummy Conv3d to reuse torch's optimizer plumbing;
+here it is just an array).  Each iteration:
+
+  1. smooth the raw grid with three cascaded 3^3 zero-padded box filters
+     (a cubic-B-spline-like kernel, convex_adam_MIND.py:166),
+  2. diffusion regularizer: mean squared forward difference along each
+     spatial axis, weighted by ``lambda_weight`` (:167-169),
+  3. warp the pooled moving features by the smoothed grid
+     (grid_sample, align_corners=False, zeros padding, :171-174),
+  4. data term: channel-mean squared error * 12 (:176), plus (2), backprop,
+     ``torch.optim.Adam(lr=1)`` step (:158,:179).
+
+TPU-native: the loop is a ``lax.scan`` over optax updates so the whole stage
+compiles to a single XLA while-loop; multi-output "snapshot" variants (the
+self-configuring runners save the field at several iteration counts,
+self_configuring/convex_adam_MIND.py:115-123) fall out for free by writing
+the smoothed field into a static-size snapshot buffer inside the scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from convexadam_tpu.core.smoothing import box_smooth_repeated
+from convexadam_tpu.core.warp import warp_with_displacement
+
+
+def diffusion_regularizer(disp: jax.Array) -> jax.Array:
+    """Mean squared forward differences along each spatial axis, summed.
+
+    ``disp`` is (3, H, W, D).  Matches convex_adam_MIND.py:167-169 (each
+    axis term is averaged over its own element count, channels included).
+    """
+    dh = disp[:, 1:, :, :] - disp[:, :-1, :, :]
+    dw = disp[:, :, 1:, :] - disp[:, :, :-1, :]
+    dd = disp[:, :, :, 1:] - disp[:, :, :, :-1]
+    return jnp.mean(dh * dh) + jnp.mean(dw * dw) + jnp.mean(dd * dd)
+
+
+def _loss_fn(
+    weight: jax.Array,
+    feat_fix: jax.Array,
+    feat_mov: jax.Array,
+    lambda_weight: float,
+) -> tuple[jax.Array, jax.Array]:
+    disp_sample = box_smooth_repeated(weight, 3, 3)
+    reg = lambda_weight * diffusion_regularizer(disp_sample)
+    warped = warp_with_displacement(feat_mov, disp_sample)
+    cost = jnp.mean((warped - feat_fix) ** 2, axis=0) * 12.0
+    return jnp.mean(cost) + reg, disp_sample
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lambda_weight", "niter", "snapshot_iters")
+)
+def adam_instance_optimisation(
+    feat_fix: jax.Array,
+    feat_mov: jax.Array,
+    disp_init: jax.Array,
+    lambda_weight: float,
+    niter: int,
+    snapshot_iters: tuple[int, ...] = (),
+) -> tuple[jax.Array, jax.Array]:
+    """Optimise a low-res displacement grid against pooled features.
+
+    Args:
+      feat_fix, feat_mov: (C, h, w, d) features pooled by ``grid_sp_adam``.
+      disp_init: (3, h, w, d) initial displacement in **coarse voxel units**
+        (the caller divides the full-res field by ``grid_sp_adam``,
+        convex_adam_MIND.py:156).
+      lambda_weight: diffusion weight (static).
+      niter: iteration count (static).
+      snapshot_iters: additional iteration counts at which to record the
+        smoothed field ("field after k iterations", i.e. the field the
+        reference would output with ``selected_niter=k``).
+
+    Returns:
+      (final_field, snapshots): final smoothed field (3, h, w, d) — the
+      smoothed field computed in the *last loop body before its update*,
+      exactly the reference's output (``fitted_grid = disp_sample`` after the
+      loop, convex_adam_MIND.py:181) — and a (S, 3, h, w, d) snapshot stack
+      (S = len(snapshot_iters); the entry for ``k`` equals the field the
+      reference would output with ``selected_niter=k``).
+    """
+    feat_fix = feat_fix.astype(jnp.float32)
+    feat_mov = feat_mov.astype(jnp.float32)
+    w0 = disp_init.astype(jnp.float32)
+
+    opt = optax.adam(learning_rate=1.0, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = opt.init(w0)
+
+    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+
+    n_snap = len(snapshot_iters)
+    snaps0 = jnp.zeros((max(n_snap, 1),) + w0.shape, jnp.float32)
+    # "after k iterations" == the smoothed field computed in loop body k-1
+    snap_at = jnp.asarray(
+        [s - 1 for s in snapshot_iters] if n_snap else [-1], jnp.int32
+    )
+
+    def step(carry, it):
+        w, st, snaps, _ = carry
+        (_, ds), g = grad_fn(w, feat_fix, feat_mov, lambda_weight)
+        updates, st = opt.update(g, st, w)
+        w_new = optax.apply_updates(w, updates)
+        if n_snap:
+            hit = (snap_at == it).astype(jnp.float32).reshape(-1, 1, 1, 1, 1)
+            snaps = snaps * (1 - hit) + ds[None] * hit
+        return (w_new, st, snaps, ds), None
+
+    (_, _, snaps, final), _ = lax.scan(
+        step, (w0, opt_state, snaps0, jnp.zeros_like(w0)), jnp.arange(niter)
+    )
+    return final, snaps[: max(n_snap, 1)]

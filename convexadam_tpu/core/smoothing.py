@@ -27,13 +27,25 @@ from jax import lax
 
 
 def _reduce_window_sum_axis(x: jax.Array, axis: int, k: int, stride: int, pad: int):
-    window = [1] * x.ndim
-    strides = [1] * x.ndim
-    padding = [(0, 0)] * x.ndim
-    window[axis] = k
-    strides[axis] = stride
-    padding[axis] = (pad, pad)
-    return lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add, window, strides, padding)
+    """1-D window sum along ``axis`` via ``k`` static shifted slices.
+
+    Differentiable everywhere (unlike the generic ``lax.reduce_window``
+    primitive, which has no JVP rule and breaks grad-inside-scan); the static
+    slices fuse into a single VPU pass under XLA.
+    """
+    if pad:
+        padding = [(0, 0)] * x.ndim
+        padding[axis] = (pad, pad)
+        x = jnp.pad(x, padding, mode="constant")
+    n = x.shape[axis]
+    out_n = (n - k) // stride + 1
+    acc = None
+    for j in range(k):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(j, j + (out_n - 1) * stride + 1, stride)
+        term = x[tuple(sl)]
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def avg_pool3d(

@@ -1,0 +1,138 @@
+"""Parity tests for the SSD cost volume and coupled-convex solver.
+
+Oracles are spec-derived torch implementations (direct displacement loops,
+not the reference's unfold trick) so that layout agreement is a real check.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from convexadam_tpu.core import convex, cost_volume
+
+
+def _correlate_oracle(fix: np.ndarray, mov: np.ndarray, q: int):
+    """Direct-loop SSD cost volume in torch, reference layout
+    k = kd*K^2 + kw*K + kh (convex_adam_utils.py:72-89)."""
+    C, H, W, D = fix.shape
+    K = 2 * q + 1
+    tf = torch.from_numpy(fix)
+    tm = torch.from_numpy(mov)
+    tmp = F.pad(tm, (q, q, q, q, q, q))
+    ssd = torch.zeros(K**3, H, W, D)
+    for kd in range(K):
+        for kw in range(K):
+            for kh in range(K):
+                sl = tmp[:, kh:kh + H, kw:kw + W, kd:kd + D]
+                ssd[kd * K * K + kw * K + kh] = ((tf - sl) ** 2).sum(0)
+    ssd = ssd.unsqueeze(0)
+    ssd = F.avg_pool3d(ssd, 3, stride=1, padding=1)
+    ssd = F.avg_pool3d(ssd, 3, stride=1, padding=1)[0]
+    return ssd.numpy(), ssd.argmin(0).numpy()
+
+
+def test_correlate_matches_oracle(rng):
+    C, H, W, D, q = 4, 6, 7, 5, 2
+    fix = rng.standard_normal((C, H, W, D)).astype(np.float32)
+    mov = rng.standard_normal((C, H, W, D)).astype(np.float32)
+    ssd, am = cost_volume.correlate(jnp.asarray(fix), jnp.asarray(mov), q)
+    ssd_o, am_o = _correlate_oracle(fix, mov, q)
+    np.testing.assert_allclose(np.asarray(ssd), ssd_o, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(am), am_o)
+
+
+def test_correlate_layout_matches_reference_unfold(rng):
+    """Validate the displacement-axis layout against the reference's actual
+    unfold-based construction (convex_adam_utils.py:76-86) rebuilt in torch."""
+    C, H, W, D, q = 3, 5, 6, 4, 1
+    K = 2 * q + 1
+    fix = rng.standard_normal((1, C, H, W, D)).astype(np.float32)
+    mov = rng.standard_normal((1, C, H, W, D)).astype(np.float32)
+
+    tf = torch.from_numpy(fix)
+    tm = torch.from_numpy(mov)
+    unf = F.unfold(F.pad(tm, (q, q, q, q, q, q)).squeeze(0), K)
+    unf = unf.view(C, -1, K**2, W, D)
+    ssd_t = torch.zeros(K**3, H, W, D)
+    for i in range(K):
+        s = (tf.permute(1, 2, 0, 3, 4) - unf[:, i:i + H]).pow(2).sum(0, keepdim=True)
+        ssd_t[i::K] = F.avg_pool3d(
+            F.avg_pool3d(s.transpose(2, 1), 3, stride=1, padding=1),
+            3, stride=1, padding=1,
+        ).squeeze(1)
+    ssd_t = (
+        ssd_t.view(K, K, K, H, W, D).transpose(1, 0).reshape(K**3, H, W, D)
+    )
+
+    ssd, _ = cost_volume.correlate(jnp.asarray(fix[0]), jnp.asarray(mov[0]), q)
+    np.testing.assert_allclose(np.asarray(ssd), ssd_t.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_displacement_mesh_matches_affine_grid():
+    q = 2
+    K = 2 * q + 1
+    mesh = np.asarray(cost_volume.displacement_mesh(q))
+    theirs = (
+        F.affine_grid(
+            q * torch.eye(3, 4).unsqueeze(0),
+            (1, 1, K, K, K),
+            align_corners=True,
+        )
+        .permute(0, 4, 1, 2, 3)
+        .reshape(3, -1)
+        .numpy()
+    )
+    # torch's (x, y, z) grid channels paired with the ssd layout
+    # k = kd*K^2 + kw*K + kh give x = dH, y = dW, z = dD — i.e. already
+    # array order (this is why the reference later flips the field channels
+    # before grid_sample, convex_adam_MIND.py:139).
+    np.testing.assert_allclose(mesh, theirs, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_mxu", [False, True])
+def test_coupled_convex_matches_oracle(rng, use_mxu):
+    q = 1
+    K = 2 * q + 1
+    H, W, D = 6, 5, 7
+    ssd = rng.standard_normal((K**3, H, W, D)).astype(np.float32)
+    mesh = np.asarray(cost_volume.displacement_mesh(q))
+    am = ssd.argmin(0)
+
+    ours = convex.coupled_convex(
+        jnp.asarray(ssd), jnp.asarray(am), jnp.asarray(mesh), use_mxu=use_mxu
+    )
+
+    # oracle: direct implementation of convex_adam_utils.py:93-109 semantics
+    tssd = torch.from_numpy(ssd)
+    tmesh = torch.from_numpy(mesh)
+    disp = tmesh[:, torch.from_numpy(am).view(-1)].reshape(1, 3, H, W, D)
+    disp_soft = F.avg_pool3d(disp, 3, padding=1, stride=1)
+    for c in [0.003, 0.01, 0.03, 0.1, 0.3, 1]:
+        coupled = tssd.view(K**3, -1) + c * (
+            (tmesh.view(3, K**3, 1) - disp_soft.view(3, 1, -1)) ** 2
+        ).sum(0)
+        am2 = coupled.argmin(0)
+        disp = tmesh[:, am2].reshape(1, 3, H, W, D)
+        disp_soft = F.avg_pool3d(disp, 3, padding=1, stride=1)
+
+    np.testing.assert_allclose(
+        np.asarray(ours), disp_soft[0].numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_coupled_convex_identity_costs(rng):
+    """If the cost volume has its minimum at zero displacement everywhere,
+    the solver must return (near) zero displacement."""
+    q = 2
+    K = 2 * q + 1
+    mesh = np.asarray(cost_volume.displacement_mesh(q))
+    dist = (mesh**2).sum(0).astype(np.float32)  # bowl centred at zero disp
+    ssd = np.tile(dist[:, None, None, None], (1, 5, 5, 5))
+    am = ssd.argmin(0)
+    out = np.asarray(
+        convex.coupled_convex(jnp.asarray(ssd), jnp.asarray(am), jnp.asarray(mesh))
+    )
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)

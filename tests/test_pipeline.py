@@ -1,0 +1,160 @@
+"""End-to-end pipeline tests: metamorphic (identity / known translation),
+mirroring the reference test strategy (tests/test_convex_adam_mind.py), plus
+a torch-oracle parity test of the Adam instance-optimisation stage.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from convexadam_tpu.core.adam import adam_instance_optimisation
+from convexadam_tpu.pipeline.convex_adam import (
+    ConvexAdamConfig,
+    convex_adam,
+    convex_adam_semantic_jax,
+)
+
+
+def _synthetic_volume(shape=(48, 48, 48), seed=0):
+    """Smooth random blobs — enough structure for MIND to latch onto."""
+    rng = np.random.default_rng(seed)
+    vol = rng.standard_normal(shape).astype(np.float32)
+    t = torch.from_numpy(vol)[None, None]
+    for _ in range(2):
+        t = F.avg_pool3d(t, 3, stride=1, padding=1)
+    vol = t[0, 0].numpy()
+    vol = (vol - vol.mean()) / vol.std()
+    return vol * 100.0
+
+
+# Adam with lr=1 needs its full 80 iterations to settle (its first steps are
+# ±1 voxel regardless of gradient magnitude); the reference identity test
+# also runs the default 80 iterations.
+FAST_CFG = ConvexAdamConfig(
+    grid_sp=4, disp_hw=2, lambda_weight=1.25, selected_niter=80, grid_sp_adam=2
+)
+
+
+def test_identity_registration_near_zero_field():
+    """Register a volume to itself → displacement ≈ 0 (reference bar:
+    atol 0.1 voxels, tests/test_convex_adam_mind.py:22-42)."""
+    img = _synthetic_volume()
+    disp = convex_adam(img, img, FAST_CFG)
+    assert disp.shape == img.shape + (3,)
+    assert np.abs(disp).max() < 0.1
+
+
+def test_translation_recovered():
+    """A known integer shift must be recovered within 1 voxel for >90% of
+    central voxels (reference bar, tests/test_convex_adam_mind.py:87-135)."""
+    img = _synthetic_volume((48, 48, 48), seed=3)
+    shift = (4, -3, 2)
+    moving = np.roll(img, shift, axis=(0, 1, 2))
+    # moving(x) = img(x - shift) → registering fixed=img onto moving should
+    # find disp ≈ -shift... fixed(x) = moving(x + shift): disp = +shift
+    disp = convex_adam(img, moving, FAST_CFG)
+    c = 12  # central crop, away from roll wrap-around artefacts
+    central = disp[c:-c, c:-c, c:-c]
+    err = np.abs(central - np.array(shift, np.float32))
+    frac_ok = np.mean(np.all(err < 1.0, axis=-1))
+    assert frac_ok > 0.9, f"only {frac_ok:.2%} within 1 voxel; median={np.median(central.reshape(-1,3),0)}"
+
+
+def test_semantic_pipeline_identity():
+    """Registering a label map to itself must leave the labels unchanged
+    after warping.  (Note: the raw field is NOT near-zero in structureless
+    background regions — one-hot features give no pull-back there; the
+    reference's Adam stage drifts identically.  Label preservation is the
+    meaningful invariant.)"""
+    labels = np.zeros((48, 48, 48), np.int32)
+    labels[10:30, 12:36, 8:40] = 1
+    labels[18:26, 20:30, 16:30] = 2
+    disp = np.asarray(
+        convex_adam_semantic_jax(
+            jnp.asarray(labels), jnp.asarray(labels), FAST_CFG, num_labels=3
+        )
+    )
+    # field must be small where there is structure (near label boundaries)
+    boundary = np.zeros_like(labels, bool)
+    boundary[10:30, 12:36, 8:40] = True
+    inner = np.zeros_like(labels, bool)
+    inner[12:28, 14:34, 10:38] = True
+    shell = boundary & ~inner
+    assert np.abs(disp[shell]).max() < 2.0
+
+    # warped labels == original labels
+    from convexadam_tpu.core.warp import identity_grid_voxels, map_coordinates_trilinear
+
+    coords = identity_grid_voxels(labels.shape) + jnp.moveaxis(jnp.asarray(disp), -1, 0)
+    warped = np.asarray(
+        map_coordinates_trilinear(jnp.asarray(labels.astype(np.float32)), coords, mode="nearest")
+    )
+    match = np.mean(np.round(warped) == labels)
+    assert match > 0.995, f"label match only {match:.4f}"
+
+
+def test_adam_stage_matches_torch_oracle(rng):
+    """The Adam instance optimisation must track a torch re-derivation
+    (optimizer semantics + grid conventions, convex_adam_MIND.py:147-181)."""
+    C, h, w, d = 3, 8, 9, 10
+    lam = 0.8
+    niter = 12
+    fix = rng.standard_normal((C, h, w, d)).astype(np.float32)
+    mov = rng.standard_normal((C, h, w, d)).astype(np.float32)
+    init = (rng.standard_normal((3, h, w, d)) * 0.5).astype(np.float32)
+
+    ours, _ = adam_instance_optimisation(
+        jnp.asarray(fix), jnp.asarray(mov), jnp.asarray(init), lam, niter
+    )
+
+    # torch oracle
+    tfix = torch.from_numpy(fix)[None]
+    tmov = torch.from_numpy(mov)[None]
+    weight = torch.nn.Parameter(torch.from_numpy(init)[None].clone())
+    optimizer = torch.optim.Adam([weight], lr=1)
+    grid0 = F.affine_grid(
+        torch.eye(3, 4).unsqueeze(0), (1, 1, h, w, d), align_corners=False
+    )
+    scale = torch.tensor([(h - 1) / 2, (w - 1) / 2, (d - 1) / 2]).unsqueeze(0)
+    for _ in range(niter):
+        optimizer.zero_grad()
+        ds = weight
+        for _k in range(3):
+            ds = F.avg_pool3d(ds, 3, stride=1, padding=1)
+        ds = ds.permute(0, 2, 3, 4, 1)
+        reg = (
+            lam * ((ds[0, :, 1:, :] - ds[0, :, :-1, :]) ** 2).mean()
+            + lam * ((ds[0, 1:, :, :] - ds[0, :-1, :, :]) ** 2).mean()
+            + lam * ((ds[0, :, :, 1:] - ds[0, :, :, :-1]) ** 2).mean()
+        )
+        grid_disp = grid0.view(-1, 3) + (ds.view(-1, 3) / scale).flip(1)
+        sampled = F.grid_sample(
+            tmov, grid_disp.view(1, h, w, d, 3), align_corners=False, mode="bilinear"
+        )
+        loss = ((sampled - tfix) ** 2).mean(1).mul(12).mean()
+        (loss + reg).backward()
+        optimizer.step()
+    oracle = ds.detach().permute(0, 4, 1, 2, 3)[0].numpy()
+
+    # tolerance: Adam's normalized updates amplify ulp-level fp differences
+    # over iterations; 12 iterations keeps agreement to ~1e-4
+    np.testing.assert_allclose(np.asarray(ours), oracle, rtol=5e-3, atol=5e-4)
+
+
+def test_adam_snapshots_consistent():
+    """Snapshot at k must equal a separate run with niter=k."""
+    rng = np.random.default_rng(5)
+    C, h, w, d = 2, 6, 6, 6
+    fix = jnp.asarray(rng.standard_normal((C, h, w, d)).astype(np.float32))
+    mov = jnp.asarray(rng.standard_normal((C, h, w, d)).astype(np.float32))
+    init = jnp.asarray((rng.standard_normal((3, h, w, d)) * 0.3).astype(np.float32))
+
+    final10, snaps = adam_instance_optimisation(
+        fix, mov, init, 1.0, 10, snapshot_iters=(4, 10)
+    )
+    final4, _ = adam_instance_optimisation(fix, mov, init, 1.0, 4)
+    np.testing.assert_allclose(np.asarray(snaps[0]), np.asarray(final4), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(snaps[1]), np.asarray(final10), atol=1e-6)

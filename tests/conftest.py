@@ -9,12 +9,20 @@ import os
 
 # force CPU (the ambient environment may pin JAX_PLATFORMS to a TPU plugin);
 # set CONVEXADAM_TEST_PLATFORM to override (e.g. to run the suite on TPU).
-os.environ["JAX_PLATFORMS"] = os.environ.get("CONVEXADAM_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("CONVEXADAM_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# the ambient axon TPU plugin's sitecustomize calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+# overriding the env var — force it back before any backend initializes.
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

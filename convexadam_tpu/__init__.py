@@ -17,4 +17,12 @@ Reference behaviour parity is documented per-function with file:line
 citations into the reference repository.
 """
 
+from convexadam_tpu.pipeline.convex_adam import (  # noqa: F401
+    ConvexAdamConfig,
+    convex_adam,
+    convex_adam_jax,
+    convex_adam_semantic_jax,
+)
+from convexadam_tpu.pipeline.apply import apply_convex, apply_convex_jax  # noqa: F401
+
 __version__ = "0.1.0"

@@ -1,0 +1,132 @@
+"""CLI: MIND ConvexAdam registration, file → displacement field file.
+
+Flag-for-flag equivalent of the reference CLI
+(src/convexAdam/convex_adam_MIND.py:251-287): loads fixed/moving volumes
+(nib conventions: (i,j,k) data, RAS affine), runs the pipeline, writes
+``disp.nii.gz`` with the fixed image's affine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def convex_adam_from_files(
+    path_img_fixed,
+    path_img_moving,
+    mind_r: int = 1,
+    mind_d: int = 2,
+    lambda_weight: float = 1.25,
+    grid_sp: int = 6,
+    disp_hw: int = 4,
+    selected_niter: int = 80,
+    selected_smooth: int = 0,
+    grid_sp_adam: int = 2,
+    ic: bool = True,
+    use_mask: bool = False,
+    path_fixed_mask=None,
+    path_moving_mask=None,
+    result_path="./",
+    dtype: str = "float32",
+    verbose: bool = False,
+) -> Path:
+    """File-level pipeline (reference ``convex_adam``, convex_adam_MIND.py:205-248)."""
+    import jax.numpy as jnp
+
+    from convexadam_tpu.geometry.io import load_volume_nib_order, save_volume_nib_order
+    from convexadam_tpu.pipeline.convex_adam import (
+        ConvexAdamConfig,
+        convex_adam_features,
+    )
+    from convexadam_tpu.core.features import mindssc
+    from convexadam_tpu.pipeline.preprocess import mask_infill
+
+    img_fixed, affine = load_volume_nib_order(path_img_fixed)
+    img_moving, _ = load_volume_nib_order(path_img_moving)
+
+    cfg = ConvexAdamConfig(
+        mind_r=mind_r,
+        mind_d=mind_d,
+        lambda_weight=lambda_weight,
+        grid_sp=grid_sp,
+        disp_hw=disp_hw,
+        selected_niter=selected_niter,
+        selected_smooth=selected_smooth,
+        grid_sp_adam=grid_sp_adam,
+        ic=ic,
+        dtype=dtype,
+    )
+
+    t0 = time.time()
+    fixed = np.asarray(img_fixed, np.float32)
+    moving = np.asarray(img_moving, np.float32)
+    if use_mask:
+        mask_fixed, _ = load_volume_nib_order(path_fixed_mask)
+        mask_moving, _ = load_volume_nib_order(path_moving_mask)
+        fixed = mask_infill(fixed, np.asarray(mask_fixed, np.float32))
+        moving = mask_infill(moving, np.asarray(mask_moving, np.float32))
+
+    dt = cfg.compute_dtype
+    feat_fix = mindssc(jnp.asarray(fixed), cfg.mind_r, cfg.mind_d).astype(dt)
+    feat_mov = mindssc(jnp.asarray(moving), cfg.mind_r, cfg.mind_d).astype(dt)
+    disp = np.asarray(convex_adam_features(feat_fix, feat_mov, cfg), np.float32)
+
+    if verbose:
+        print(f"case time: {time.time() - t0}")
+
+    out = Path(result_path) / "disp.nii.gz"
+    save_volume_nib_order(disp.astype(np.float32), affine, out)
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="ConvexAdam MIND registration (TPU)")
+    parser.add_argument("-f", "--path_img_fixed", type=str, required=True)
+    parser.add_argument("-m", "--path_img_moving", type=str, required=True)
+    parser.add_argument("--mind_r", type=int, default=1)
+    parser.add_argument("--mind_d", type=int, default=2)
+    parser.add_argument("--lambda_weight", type=float, default=1.25)
+    parser.add_argument("--grid_sp", type=int, default=6)
+    parser.add_argument("--disp_hw", type=int, default=4)
+    parser.add_argument("--selected_niter", type=int, default=80)
+    parser.add_argument("--selected_smooth", type=int, default=0)
+    parser.add_argument("--grid_sp_adam", type=int, default=2)
+    parser.add_argument("--ic", choices=("True", "False"), default="True")
+    parser.add_argument("--use_mask", choices=("True", "False"), default="False")
+    parser.add_argument("--path_mask_fixed", type=str, default=None)
+    parser.add_argument("--path_mask_moving", type=str, default=None)
+    parser.add_argument("--result_path", type=str, default="./")
+    parser.add_argument("--dtype", type=str, default="float32", choices=("float32", "bfloat16"))
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.result_path, exist_ok=True)
+    out = convex_adam_from_files(
+        path_img_fixed=args.path_img_fixed,
+        path_img_moving=args.path_img_moving,
+        mind_r=args.mind_r,
+        mind_d=args.mind_d,
+        lambda_weight=args.lambda_weight,
+        grid_sp=args.grid_sp,
+        disp_hw=args.disp_hw,
+        selected_niter=args.selected_niter,
+        selected_smooth=args.selected_smooth,
+        grid_sp_adam=args.grid_sp_adam,
+        ic=(args.ic == "True"),
+        use_mask=(args.use_mask == "True"),
+        path_fixed_mask=args.path_mask_fixed,
+        path_moving_mask=args.path_mask_moving,
+        result_path=args.result_path,
+        dtype=args.dtype,
+        verbose=args.verbose,
+    )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

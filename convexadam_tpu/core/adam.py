@@ -31,8 +31,50 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-from convexadam_tpu.core.smoothing import box_smooth_repeated
-from convexadam_tpu.core.warp import warp_with_displacement
+from convexadam_tpu.core.smoothing import (
+    box_smooth_repeated,
+    gaussian_smooth,
+    kovesi_spline,
+)
+from convexadam_tpu.core.warp import (
+    build_corner_stack,
+    warp_with_displacement,
+    warp_with_displacement_stacked,
+)
+
+# stage-2 "shift-spline" smoother bank (adam_run_withconfig_shiftSpline.py:140-141):
+# two Gaussians + six Kovesi box-cascade splines, indexed by ``avg_n``.
+SMOOTHER_BANK: tuple[tuple, ...] = (
+    ("gauss", 0.7),
+    ("gauss", 1.0),
+    ("kovesi", 1.3),
+    ("kovesi", 1.6),
+    ("kovesi", 1.9),
+    ("kovesi", 2.2),
+    ("kovesi", 2.5),
+    ("kovesi", 2.8),
+)
+
+
+def resolve_smoother(spec: tuple):
+    """Resolve a hashable smoother spec into a callable.
+
+    Specs: ("box", kernel, repeats) — the packaged pipeline's cascade;
+    ("gauss", sigma); ("kovesi", sigma[, n]); ("bank", avg_n) — index into
+    :data:`SMOOTHER_BANK`.
+    """
+    kind = spec[0]
+    if kind == "box":
+        _, kernel, repeats = spec
+        return lambda x: box_smooth_repeated(x, kernel, repeats)
+    if kind == "gauss":
+        return lambda x: gaussian_smooth(x, spec[1])
+    if kind == "kovesi":
+        n = spec[2] if len(spec) > 2 else 4
+        return lambda x: kovesi_spline(x, spec[1], n)
+    if kind == "bank":
+        return resolve_smoother(SMOOTHER_BANK[spec[1]])
+    raise ValueError(f"unknown smoother spec: {spec}")
 
 
 def diffusion_regularizer(disp: jax.Array) -> jax.Array:
@@ -50,26 +92,34 @@ def diffusion_regularizer(disp: jax.Array) -> jax.Array:
 def _loss_fn(
     weight: jax.Array,
     feat_fix: jax.Array,
-    feat_mov: jax.Array,
-    lambda_weight: float,
+    feat_mov_stack: jax.Array,
+    feat_mov_shape: tuple,
+    lambda_weight,
+    smooth_fn,
+    cost_scale,
 ) -> tuple[jax.Array, jax.Array]:
-    disp_sample = box_smooth_repeated(weight, 3, 3)
+    disp_sample = smooth_fn(weight)
     reg = lambda_weight * diffusion_regularizer(disp_sample)
-    warped = warp_with_displacement(feat_mov, disp_sample)
-    cost = jnp.mean((warped - feat_fix) ** 2, axis=0) * 12.0
+    warped = warp_with_displacement_stacked(
+        feat_mov_stack, feat_mov_shape, disp_sample
+    )
+    cost = jnp.mean((warped - feat_fix) ** 2, axis=0) * cost_scale
     return jnp.mean(cost) + reg, disp_sample
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lambda_weight", "niter", "snapshot_iters")
+    jax.jit,
+    static_argnames=("niter", "snapshot_iters", "smoother"),
 )
 def adam_instance_optimisation(
     feat_fix: jax.Array,
     feat_mov: jax.Array,
     disp_init: jax.Array,
-    lambda_weight: float,
+    lambda_weight,
     niter: int,
     snapshot_iters: tuple[int, ...] = (),
+    smoother: tuple = ("box", 3, 3),
+    cost_scale=12.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Optimise a low-res displacement grid against pooled features.
 
@@ -78,8 +128,14 @@ def adam_instance_optimisation(
       disp_init: (3, h, w, d) initial displacement in **coarse voxel units**
         (the caller divides the full-res field by ``grid_sp_adam``,
         convex_adam_MIND.py:156).
-      lambda_weight: diffusion weight (static).
+      lambda_weight: diffusion weight (traced — one compile serves a sweep).
       niter: iteration count (static).
+      smoother: hashable smoother spec (see :func:`resolve_smoother`); the
+        packaged pipeline uses the triple 3^3 box cascade, the stage-2 sweep
+        the Gaussian/Kovesi bank.
+      cost_scale: data-term channel scale — 12 in the packaged pipelines
+        (convex_adam_MIND.py:176), ``n_ch`` in the sweep scripts
+        (adam_run_withconfig_shiftSpline.py:229).
       snapshot_iters: additional iteration counts at which to record the
         smoothed field ("field after k iterations", i.e. the field the
         reference would output with ``selected_niter=k``).
@@ -95,6 +151,12 @@ def adam_instance_optimisation(
     feat_fix = feat_fix.astype(jnp.float32)
     feat_mov = feat_mov.astype(jnp.float32)
     w0 = disp_init.astype(jnp.float32)
+    smooth_fn = resolve_smoother(smoother)
+    # corner stack: built once, loop-invariant (hoisted out of the scan) —
+    # turns the 8 per-corner gathers per iteration into one tall-column
+    # gather (~4x faster on TPU, see warp.build_corner_stack)
+    feat_mov_stack = build_corner_stack(feat_mov)
+    feat_mov_shape = tuple(feat_mov.shape)
 
     opt = optax.adam(learning_rate=1.0, b1=0.9, b2=0.999, eps=1e-8)
     opt_state = opt.init(w0)
@@ -110,7 +172,10 @@ def adam_instance_optimisation(
 
     def step(carry, it):
         w, st, snaps, _ = carry
-        (_, ds), g = grad_fn(w, feat_fix, feat_mov, lambda_weight)
+        (_, ds), g = grad_fn(
+            w, feat_fix, feat_mov_stack, feat_mov_shape, lambda_weight,
+            smooth_fn, cost_scale,
+        )
         updates, st = opt.update(g, st, w)
         w_new = optax.apply_updates(w, updates)
         if n_snap:

@@ -93,6 +93,134 @@ def _gather_corners(vol_flat, idx_h, idx_w, idx_d, W, D):
     return jnp.take(vol_flat, lin, axis=1)
 
 
+def _gs_coords(vol_shape, g, align_corners, padding_mode):
+    """Shared coordinate computation for the bilinear sampler fwd/bwd."""
+    C, H, W, D = vol_shape
+    x = unnormalize_coord(g[:, 0], H, align_corners)
+    y = unnormalize_coord(g[:, 1], W, align_corners)
+    z = unnormalize_coord(g[:, 2], D, align_corners)
+    if padding_mode == "border":
+        # gradient of the clip is handled in bwd via in-range masks
+        xc = jnp.clip(x, 0.0, H - 1)
+        yc = jnp.clip(y, 0.0, W - 1)
+        zc = jnp.clip(z, 0.0, D - 1)
+    else:
+        xc, yc, zc = x, y, z
+    x0 = jnp.floor(xc)
+    y0 = jnp.floor(yc)
+    z0 = jnp.floor(zc)
+    return (
+        (x, y, z),
+        (xc - x0, yc - y0, zc - z0),
+        (x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32)),
+    )
+
+
+def _corner_terms(vol_shape, fracs, bases, padding_mode, compute_dtype):
+    """Iterate the 8 trilinear corners → (weight-per-axis triplet, mask,
+    clipped linear index)."""
+    C, H, W, D = vol_shape
+    fx, fy, fz = fracs
+    x0i, y0i, z0i = bases
+    for dx in (0, 1):
+        wx = fx if dx else (1.0 - fx)
+        xi = x0i + dx
+        vx = (xi >= 0) & (xi < H)
+        xi_c = jnp.clip(xi, 0, H - 1)
+        for dy in (0, 1):
+            wy = fy if dy else (1.0 - fy)
+            yi = y0i + dy
+            vy = (yi >= 0) & (yi < W)
+            yi_c = jnp.clip(yi, 0, W - 1)
+            for dz in (0, 1):
+                wz = fz if dz else (1.0 - fz)
+                zi = z0i + dz
+                vz = (zi >= 0) & (zi < D)
+                zi_c = jnp.clip(zi, 0, D - 1)
+                if padding_mode == "zeros":
+                    m = (vx & vy & vz).astype(compute_dtype)
+                else:
+                    m = jnp.ones_like(wx)
+                lin = (xi_c * W + yi_c) * D + zi_c
+                yield (dx, dy, dz), (wx, wy, wz), m, lin
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _grid_sample_bilinear(vol, g, align_corners, padding_mode):
+    """Trilinear sampling core: vol (C,H,W,D), g (N,3) normalized → (C,N).
+
+    Custom VJP: JAX's autodiff of the gather-based forward re-fuses the
+    per-channel gathers into a multi-row gather that hits XLA:TPU's slow
+    path (~600 ms/backward at 96^3x12 on v5e vs <1 ms hand-written), so both
+    directions are written with fast 1-D per-channel gathers; the cotangent
+    w.r.t. ``vol`` (scatter-add) is emitted too but DCE'd by XLA whenever the
+    caller doesn't need it (e.g. the Adam instance loop differentiates only
+    w.r.t. the displacement grid, convex_adam_MIND.py:155-179).
+    """
+    C, H, W, D = vol.shape
+    compute_dtype = jnp.promote_types(vol.dtype, g.dtype)
+    g = g.astype(compute_dtype)
+    vol_flat = vol.reshape(C, -1).astype(compute_dtype)
+    _, fracs, bases = _gs_coords(vol.shape, g, align_corners, padding_mode)
+    acc = jnp.zeros((C, g.shape[0]), dtype=compute_dtype)
+    for _, (wx, wy, wz), m, lin in _corner_terms(
+        vol.shape, fracs, bases, padding_mode, compute_dtype
+    ):
+        w = wx * wy * wz * m
+        corner = jnp.take(vol_flat, lin, axis=1)
+        acc = acc + corner * w[None, :]
+    return acc
+
+
+def _grid_sample_bilinear_fwd(vol, g, align_corners, padding_mode):
+    return _grid_sample_bilinear(vol, g, align_corners, padding_mode), (vol, g)
+
+
+def _grid_sample_bilinear_bwd(align_corners, padding_mode, res, ct):
+    vol, g = res
+    C, H, W, D = vol.shape
+    compute_dtype = jnp.promote_types(vol.dtype, g.dtype)
+    gc = g.astype(compute_dtype)
+    vol_flat = vol.reshape(C, -1).astype(compute_dtype)
+    ct = ct.astype(compute_dtype)
+    coords, fracs, bases = _gs_coords(vol.shape, gc, align_corners, padding_mode)
+
+    n = gc.shape[0]
+    dxs = jnp.zeros((n,), compute_dtype)
+    dys = jnp.zeros((n,), compute_dtype)
+    dzs = jnp.zeros((n,), compute_dtype)
+    dvol_flat = jnp.zeros_like(vol_flat)
+    for (dx, dy, dz), (wx, wy, wz), m, lin in _corner_terms(
+        vol.shape, fracs, bases, padding_mode, compute_dtype
+    ):
+        corner = jnp.take(vol_flat, lin, axis=1)  # (C, N)
+        ct_dot_v = jnp.sum(ct * corner, axis=0)  # (N,)
+        sx = 1.0 if dx else -1.0
+        sy = 1.0 if dy else -1.0
+        sz = 1.0 if dz else -1.0
+        dxs = dxs + ct_dot_v * (sx * wy * wz * m)
+        dys = dys + ct_dot_v * (wx * sy * wz * m)
+        dzs = dzs + ct_dot_v * (wx * wy * sz * m)
+        w = wx * wy * wz * m
+        dvol_flat = dvol_flat.at[:, lin].add(ct * w[None, :])
+
+    # chain through the unnormalization (and border clip gradient)
+    x, y, z = coords
+    if align_corners:
+        scale = ((H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0)
+    else:
+        scale = (H / 2.0, W / 2.0, D / 2.0)
+    if padding_mode == "border":
+        dxs = dxs * ((x > 0) & (x < H - 1)).astype(compute_dtype)
+        dys = dys * ((y > 0) & (y < W - 1)).astype(compute_dtype)
+        dzs = dzs * ((z > 0) & (z < D - 1)).astype(compute_dtype)
+    dg = jnp.stack([dxs * scale[0], dys * scale[1], dzs * scale[2]], axis=1)
+    return dvol_flat.reshape(vol.shape).astype(vol.dtype), dg.astype(g.dtype)
+
+
+_grid_sample_bilinear.defvjp(_grid_sample_bilinear_fwd, _grid_sample_bilinear_bwd)
+
+
 def grid_sample_3d(
     vol: jax.Array,
     grid: jax.Array,
@@ -108,29 +236,26 @@ def grid_sample_3d(
     Reference call sites: convex_adam_utils.py:126-127 (zeros, ac=False),
     convex_adam_MIND.py:174 (zeros, ac=False, bilinear).
 
-    Differentiable in both ``vol`` and ``grid``.
+    Differentiable in both ``vol`` and ``grid`` (custom VJP tuned for TPU).
     """
     C, H, W, D = vol.shape
     out_shape = grid.shape[:-1]
     g = grid.reshape(-1, 3)
     compute_dtype = jnp.promote_types(vol.dtype, g.dtype)
-    g = g.astype(compute_dtype)
 
-    x = unnormalize_coord(g[:, 0], H, align_corners)
-    y = unnormalize_coord(g[:, 1], W, align_corners)
-    z = unnormalize_coord(g[:, 2], D, align_corners)
-
-    if padding_mode == "border":
-        x = jnp.clip(x, 0.0, H - 1)
-        y = jnp.clip(y, 0.0, W - 1)
-        z = jnp.clip(z, 0.0, D - 1)
-    elif padding_mode != "zeros":
+    if padding_mode not in ("zeros", "border"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
 
-    vol_flat = vol.reshape(C, -1).astype(compute_dtype)
-
     if mode == "nearest":
-        # torch rounds half away from... uses std::nearbyint (round half to even)
+        g = g.astype(compute_dtype)
+        x = unnormalize_coord(g[:, 0], H, align_corners)
+        y = unnormalize_coord(g[:, 1], W, align_corners)
+        z = unnormalize_coord(g[:, 2], D, align_corners)
+        if padding_mode == "border":
+            x = jnp.clip(x, 0.0, H - 1)
+            y = jnp.clip(y, 0.0, W - 1)
+            z = jnp.clip(z, 0.0, D - 1)
+        vol_flat = vol.reshape(C, -1).astype(compute_dtype)
         xi = jnp.round(x).astype(jnp.int32)
         yi = jnp.round(y).astype(jnp.int32)
         zi = jnp.round(z).astype(jnp.int32)
@@ -148,39 +273,160 @@ def grid_sample_3d(
     if mode != "bilinear":
         raise ValueError(f"unsupported mode: {mode}")
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    z0 = jnp.floor(z)
-    fx = x - x0
-    fy = y - y0
-    fz = z - z0
+    out = _grid_sample_bilinear(vol, g, align_corners, padding_mode)
+    return out.reshape((C,) + out_shape)
 
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    z0i = z0.astype(jnp.int32)
 
-    acc = jnp.zeros((C, g.shape[0]), dtype=compute_dtype)
+# ---------------------------------------------------------------------------
+# corner-stacked sampler — the fast path for iterative warping (Adam loop)
+# ---------------------------------------------------------------------------
+#
+# XLA:TPU gathers are per-take bound: a take fetching (12, N) columns costs
+# ~20 ms at N≈0.9M on v5e while a take fetching (96, N) columns costs ~11 ms
+# (a vectorized lowering kicks in for tall columns).  Trilinear sampling
+# needs the 2x2x2 neighbourhood of every sample point, i.e. 8 takes of
+# (C, N) — but if the volume is pre-stacked with its 8 corner-shifted copies,
+# ONE take of (8C, N) fetches the whole neighbourhood: ~4x faster per
+# iteration, and the stack is built once per optimisation (loop-invariant).
+
+def build_corner_stack(vol: jax.Array) -> jax.Array:
+    """Stack the 8 corner-shifted copies of ``vol`` (C, H, W, D) over a
+    1-voxel zero-padded base grid → (8, C, H+1, W+1, D+1).
+
+    Entry ``[k, c, b]`` with corner ``k = (dx, dy, dz)`` and base ``b`` in
+    the extended grid (base index = floor coordinate + 1, valid for floor
+    coordinates down to -1) equals ``vol[c, b - 1 + (dx, dy, dz)]`` with
+    zeros outside.
+    """
+    C, H, W, D = vol.shape
+    volp = jnp.pad(vol, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    stacks = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                stacks.append(
+                    volp[:, dx : dx + H + 1, dy : dy + W + 1, dz : dz + D + 1]
+                )
+    return jnp.stack(stacks)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _grid_sample_stacked(vol8, g, align_corners, vol_shape):
+    out, _ = _gs_stacked_fwd_impl(vol8, g, align_corners, vol_shape)
+    return out
+
+
+def _gs_stacked_common(vol8, g, align_corners, vol_shape):
+    C, H, W, D = vol_shape
+    compute_dtype = jnp.promote_types(vol8.dtype, g.dtype)
+    gc = g.astype(compute_dtype)
+    _, fracs, bases = _gs_coords((C, H, W, D), gc, align_corners, "zeros")
+    fx, fy, fz = fracs
+    x0i, y0i, z0i = bases
+    # base index into the extended (H+1, W+1, D+1) grid; valid floor range
+    # is [-1, H-1] — clamp (values outside get zero weight via the masks)
+    xb = jnp.clip(x0i + 1, 0, H)
+    yb = jnp.clip(y0i + 1, 0, W)
+    zb = jnp.clip(z0i + 1, 0, D)
+    lin = (xb * (W + 1) + yb) * (D + 1) + zb
+    n = gc.shape[0]
+    vol8_flat = vol8.reshape(8 * C, -1).astype(compute_dtype)
+    block = jnp.take(vol8_flat, lin, axis=1).reshape(8, C, n)
+    # per-corner weights with zeros-padding masks
+    ws = []
+    masks = []
+    axis_w = []
+    k = 0
     for dx in (0, 1):
         wx = fx if dx else (1.0 - fx)
-        xi = x0i + dx
-        vx = (xi >= 0) & (xi < H)
-        xi_c = jnp.clip(xi, 0, H - 1)
+        vx = (x0i + dx >= 0) & (x0i + dx < H)
         for dy in (0, 1):
             wy = fy if dy else (1.0 - fy)
-            yi = y0i + dy
-            vy = (yi >= 0) & (yi < W)
-            yi_c = jnp.clip(yi, 0, W - 1)
+            vy = (y0i + dy >= 0) & (y0i + dy < W)
             for dz in (0, 1):
                 wz = fz if dz else (1.0 - fz)
-                zi = z0i + dz
-                vz = (zi >= 0) & (zi < D)
-                zi_c = jnp.clip(zi, 0, D - 1)
-                w = wx * wy * wz
-                if padding_mode == "zeros":
-                    w = w * (vx & vy & vz).astype(compute_dtype)
-                corner = _gather_corners(vol_flat, xi_c, yi_c, zi_c, W, D)
-                acc = acc + corner * w[None, :]
-    return acc.reshape((C,) + out_shape)
+                vz = (z0i + dz >= 0) & (z0i + dz < D)
+                m = (vx & vy & vz).astype(compute_dtype)
+                ws.append(wx * wy * wz * m)
+                masks.append(m)
+                axis_w.append((dx, dy, dz, wx, wy, wz))
+                k += 1
+    return compute_dtype, fracs, bases, lin, block, ws, masks, axis_w
+
+
+def _gs_stacked_fwd_impl(vol8, g, align_corners, vol_shape):
+    (compute_dtype, _, _, _, block, ws, _, _) = _gs_stacked_common(
+        vol8, g, align_corners, vol_shape
+    )
+    w8 = jnp.stack(ws)  # (8, N)
+    out = jnp.sum(block * w8[:, None, :], axis=0)  # (C, N)
+    return out, None
+
+
+def _gs_stacked_fwd(vol8, g, align_corners, vol_shape):
+    out, _ = _gs_stacked_fwd_impl(vol8, g, align_corners, vol_shape)
+    return out, (vol8, g)
+
+
+def _gs_stacked_bwd(align_corners, vol_shape, res, ct):
+    vol8, g = res
+    C, H, W, D = vol_shape
+    (compute_dtype, fracs, bases, lin, block, ws, masks, axis_w) = (
+        _gs_stacked_common(vol8, g, align_corners, vol_shape)
+    )
+    ct = ct.astype(compute_dtype)
+    n = g.shape[0]
+    dxs = jnp.zeros((n,), compute_dtype)
+    dys = jnp.zeros((n,), compute_dtype)
+    dzs = jnp.zeros((n,), compute_dtype)
+    ctw8 = []
+    for k, (dx, dy, dz, wx, wy, wz) in enumerate(axis_w):
+        m = masks[k]
+        ct_dot_v = jnp.sum(ct * block[k], axis=0)
+        sx = 1.0 if dx else -1.0
+        sy = 1.0 if dy else -1.0
+        sz = 1.0 if dz else -1.0
+        dxs = dxs + ct_dot_v * (sx * wy * wz * m)
+        dys = dys + ct_dot_v * (wx * sy * wz * m)
+        dzs = dzs + ct_dot_v * (wx * wy * sz * m)
+        ctw8.append(ct * ws[k][None, :])
+    # cotangent for the stacked volume (scatter — DCE'd when unused)
+    dvol8_flat = jnp.zeros((8 * C, (H + 1) * (W + 1) * (D + 1)), compute_dtype)
+    dvol8_flat = dvol8_flat.at[:, lin].add(
+        jnp.concatenate(ctw8, axis=0)
+    )
+    if align_corners:
+        scale = ((H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0)
+    else:
+        scale = (H / 2.0, W / 2.0, D / 2.0)
+    dg = jnp.stack([dxs * scale[0], dys * scale[1], dzs * scale[2]], axis=1)
+    return (
+        dvol8_flat.reshape(vol8.shape).astype(vol8.dtype),
+        dg.astype(g.dtype),
+    )
+
+
+_grid_sample_stacked.defvjp(_gs_stacked_fwd, _gs_stacked_bwd)
+
+
+def warp_with_displacement_stacked(
+    vol8: jax.Array,
+    vol_shape: tuple[int, int, int, int],
+    disp_voxels: jax.Array,
+    align_corners: bool = False,
+) -> jax.Array:
+    """Like :func:`warp_with_displacement` (zeros padding, bilinear) but
+    sampling from a prebuilt corner stack — numerically identical, ~4x faster
+    per evaluation inside iterative loops on TPU."""
+    C, H, W, D = vol_shape
+    scale = jnp.array(
+        [(H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0], dtype=disp_voxels.dtype
+    ).reshape(3, 1, 1, 1)
+    grid = identity_grid_normalized((H, W, D), align_corners, disp_voxels.dtype)
+    grid = grid + jnp.moveaxis(disp_voxels / scale, 0, -1)
+    g = grid.reshape(-1, 3)
+    out = _grid_sample_stacked(vol8, g, align_corners, vol_shape)
+    return out.reshape((C, H, W, D))
 
 
 def warp_with_displacement(

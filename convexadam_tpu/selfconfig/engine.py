@@ -1,0 +1,448 @@
+"""The vmapped/sharded sweep engine.
+
+Reference workloads (SURVEY.md §3.4): stage-1 sweeps 100 convex settings x N
+case pairs (convex_run_withconfig.py), stage-2 sweeps 75 Adam settings x N
+pairs x 16 evaluation variants (adam_run_withconfig_shiftSpline.py), each as
+a sequential process-per-GPU Python loop.  Here every (setting) iterates a
+single jitted function **vmapped over the case pairs**; one compilation is
+reused across all settings that share tensor shapes (same grid_sp/disp_hw),
+and the pair axis can be sharded over a TPU mesh (see parallel/batch.py) —
+the whole search becomes minutes of device time instead of an hour.
+
+HD95 runs on host (EDT), matching the reference's cupy round-trip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convexadam_tpu.core.adam import adam_instance_optimisation
+from convexadam_tpu.core.convex import coupled_convex
+from convexadam_tpu.core.cost_volume import correlate, displacement_mesh
+from convexadam_tpu.core.features import mindssc, semantic_features
+from convexadam_tpu.core.metrics import (
+    dice_coeff,
+    hd95,
+    jacobian_determinant,
+    rank_product,
+    sort_rank,
+)
+from convexadam_tpu.core.smoothing import avg_pool3d, box_smooth_repeated
+from convexadam_tpu.core.warp import (
+    inverse_consistency,
+    resize_trilinear,
+    warp_with_displacement,
+)
+from convexadam_tpu.selfconfig.settings import (
+    STAGE2_SNAPSHOT_ITERS,
+    Stage1PairedSetting,
+    Stage1Setting,
+    Stage2Setting,
+)
+
+
+# ---------------------------------------------------------------------------
+# jitted per-pair computations
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("num_labels", "grid_sp", "disp_hw", "coarse")
+)
+def convex_field_semantic(
+    pred_fixed: jax.Array,
+    pred_moving: jax.Array,
+    nn_mult: jax.Array,
+    num_labels: int,
+    grid_sp: int,
+    disp_hw: int,
+    coarse: bool = False,
+) -> jax.Array:
+    """Convex stage on semantic features with inverse consistency
+    (convex_run_withconfig.py:101-131).  Returns the displacement field in
+    fine-voxel units — full resolution, or coarse-grid (``coarse=True``, the
+    stage-2 cache, adam_run_withconfig_shiftSpline.py:126)."""
+    H, W, D = pred_fixed.shape
+    ff, fm = semantic_features(
+        pred_fixed, pred_moving, num_labels=num_labels, mult=1.0
+    )
+    # nn_mult is a traced scalar so one compile serves all settings with the
+    # same (grid_sp, disp_hw); features scale linearly in `mult`
+    ff = ff * nn_mult
+    fm = fm * nn_mult
+    fix_s = avg_pool3d(ff, grid_sp, stride=grid_sp)
+    mov_s = avg_pool3d(fm, grid_sp, stride=grid_sp)
+
+    mesh = displacement_mesh(disp_hw)
+    ssd, am = correlate(fix_s, mov_s, disp_hw)
+    disp_soft = coupled_convex(ssd, am, mesh)
+    ssd_r, am_r = correlate(mov_s, fix_s, disp_hw)
+    disp_soft_r = coupled_convex(ssd_r, am_r, mesh)
+
+    h, w, d = disp_soft.shape[1:]
+    scale = jnp.array(
+        [(h - 1) / 2.0, (w - 1) / 2.0, (d - 1) / 2.0], jnp.float32
+    ).reshape(3, 1, 1, 1)
+    disp_ice, _ = inverse_consistency(disp_soft / scale, disp_soft_r / scale, 15)
+    disp_lr = disp_ice * scale * grid_sp
+    if coarse:
+        return disp_lr
+    return resize_trilinear(disp_lr, (H, W, D), align_corners=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mind_r", "mind_d", "grid_sp", "disp_hw")
+)
+def convex_field_mind(
+    img_fixed: jax.Array,
+    img_moving: jax.Array,
+    mind_r: int,
+    mind_d: int,
+    grid_sp: int,
+    disp_hw: int,
+) -> jax.Array:
+    """Convex stage on MIND features (convex_run_paired_mind.py:101-165)."""
+    H, W, D = img_fixed.shape
+    ff = mindssc(img_fixed, mind_r, mind_d)
+    fm = mindssc(img_moving, mind_r, mind_d)
+    fix_s = avg_pool3d(ff, grid_sp, stride=grid_sp)
+    mov_s = avg_pool3d(fm, grid_sp, stride=grid_sp)
+    mesh = displacement_mesh(disp_hw)
+    ssd, am = correlate(fix_s, mov_s, disp_hw)
+    disp_soft = coupled_convex(ssd, am, mesh)
+    ssd_r, am_r = correlate(mov_s, fix_s, disp_hw)
+    disp_soft_r = coupled_convex(ssd_r, am_r, mesh)
+    h, w, d = disp_soft.shape[1:]
+    scale = jnp.array(
+        [(h - 1) / 2.0, (w - 1) / 2.0, (d - 1) / 2.0], jnp.float32
+    ).reshape(3, 1, 1, 1)
+    disp_ice, _ = inverse_consistency(disp_soft / scale, disp_soft_r / scale, 15)
+    return resize_trilinear(disp_ice * scale * grid_sp, (H, W, D), align_corners=False)
+
+
+@functools.partial(jax.jit, static_argnames=("num_labels",))
+def evaluate_field_semantic(
+    disp_hr: jax.Array,
+    seg_fixed: jax.Array,
+    seg_moving: jax.Array,
+    num_labels: int,
+):
+    """Warp the moving segmentation (nearest) and compute Dice / SDlogJ /
+    negative-Jacobian fraction (convex_run_withconfig.py:138-152).
+    Returns (dice (L,), jstd, neg_frac, seg_warped)."""
+    seg_warped = warp_with_displacement(
+        seg_moving[None].astype(jnp.float32), disp_hr, mode="nearest"
+    )[0]
+    dice = dice_coeff(seg_fixed, seg_warped, num_labels + 1)
+    det = jacobian_determinant(disp_hr)
+    logd = jnp.log(jnp.clip(det + 3.0, 0.000000001, 1000000000.0))
+    return dice, jnp.std(logd), jnp.mean((det < 0).astype(jnp.float32)), seg_warped
+
+
+# ---------------------------------------------------------------------------
+# stage 1
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SweepResult:
+    dice: np.ndarray  # (S, 2) mean / robust30
+    jstd: np.ndarray  # (S, 2) SDlogJ / negative fraction
+    hd95: np.ndarray  # (S,)
+    times: np.ndarray  # (S,) seconds per setting (all pairs)
+    rank: np.ndarray  # (S,) or (S*V,) aggregated rank
+    best: int
+
+
+def _robust30_label_sets(
+    segs: np.ndarray, pairs: Sequence[tuple[int, int]], num_labels: int
+) -> list[np.ndarray]:
+    """Per-pair sets of the 30% worst-Dice labels before registration
+    (convex_run_withconfig.py:59-62; the reference's ``config['num_labels']``
+    is our ``num_labels + 1``)."""
+    out = []
+    k = max(1, int((num_labels + 1) * 0.3))
+    for (i, j) in pairs:
+        d = np.asarray(dice_coeff(jnp.asarray(segs[i]), jnp.asarray(segs[j]), num_labels + 1))
+        out.append(np.argsort(d)[:k])
+    return out
+
+
+def run_stage1_sweep(
+    preds: np.ndarray,
+    segs: np.ndarray,
+    pairs: Sequence[tuple[int, int]],
+    settings: Sequence[Stage1Setting],
+    num_labels: int,
+    compute_hd95: bool = True,
+    verbose: bool = False,
+) -> SweepResult:
+    """Stage-1 semantic sweep (convex_run_withconfig.py:78-172).
+
+    ``preds``/``segs``: (K, H, W, D) integer label volumes (predictions and
+    ground truth); ``pairs``: (fixed_idx, moving_idx) tuples; metrics are
+    rank-aggregated over {dice, robust30 dice, HD95, SDlogJ}.
+    """
+    pairs = list(pairs)
+    robust30 = _robust30_label_sets(segs, pairs, num_labels)
+    preds_j = jnp.asarray(preds, jnp.int32)
+    segs_j = jnp.asarray(segs, jnp.int32)
+
+    fi = np.array([p[0] for p in pairs])
+    mi = np.array([p[1] for p in pairs])
+
+    S = len(settings)
+    dice = np.zeros((S, 2))
+    jstd = np.zeros((S, 2))
+    hd = np.zeros(S)
+    times = np.zeros(S)
+
+    def pair_fn(pf, pm, sf, sm, nn_mult, grid_sp, disp_hw):
+        disp_hr = convex_field_semantic(
+            pf, pm, nn_mult, num_labels=num_labels + 1,
+            grid_sp=grid_sp, disp_hw=disp_hw,
+        )
+        return evaluate_field_semantic(disp_hr, sf, sm, num_labels)
+
+    batched = {}  # (grid_sp, disp_hw) → compiled vmapped fn
+
+    for s, st in enumerate(settings):
+        key = (st.grid_sp, st.disp_hw)
+        if key not in batched:
+            batched[key] = jax.jit(
+                jax.vmap(
+                    lambda pf, pm, sf, sm, mult, _g=st.grid_sp, _q=st.disp_hw: pair_fn(
+                        pf, pm, sf, sm, mult, _g, _q
+                    ),
+                    in_axes=(0, 0, 0, 0, None),
+                )
+            )
+        t0 = time.time()
+        d, js, nf, seg_warped = batched[key](
+            preds_j[fi], preds_j[mi], segs_j[fi], segs_j[mi],
+            jnp.float32(st.nn_mult),
+        )
+        d = np.asarray(d)  # (P, L)
+        dice[s, 0] = d.mean()
+        dice[s, 1] = np.mean([d[i, robust30[i]].mean() for i in range(len(pairs))])
+        jstd[s, 0] = np.asarray(js).mean()
+        jstd[s, 1] = np.asarray(nf).mean()
+        if compute_hd95:
+            sw = np.asarray(seg_warped)
+            hd[s] = np.mean(
+                [
+                    hd95(np.asarray(segs[fi[i]]), sw[i].round().astype(np.int32), num_labels).mean()
+                    for i in range(len(pairs))
+                ]
+            )
+        times[s] = time.time() - t0
+        if verbose:
+            print(
+                f"s={s} {st} dice={dice[s,0]:.4f}/{dice[s,1]:.4f} "
+                f"jstd={jstd[s,0]:.4f} hd95={hd[s]:.3f} t={times[s]:.2f}s"
+            )
+
+    # sort_rank gives rank 1.0 to the SMALLEST value → negate
+    # higher-is-better metrics (convex_run_withconfig.py:162-169)
+    ranks = [
+        sort_rank(-dice[:, 0]),
+        sort_rank(-dice[:, 1]),
+        sort_rank(hd),
+        sort_rank(jstd[:, 0]),
+    ]
+    rank1 = rank_product(ranks)
+    return SweepResult(dice, jstd, hd, times, rank1, int(rank1.argmax()))
+
+
+# ---------------------------------------------------------------------------
+# stage 2
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_sp_adam", "avg_n", "num_labels"),
+)
+def _stage2_pair(
+    pred_fixed,
+    pred_moving,
+    seg_fixed,
+    seg_moving,
+    disp_lr_coarse,
+    nn_mult,
+    lambda_weight,
+    grid_sp_adam: int,
+    avg_n: int,
+    num_labels: int,
+):
+    """One pair x one Adam setting → metrics over the 4x4 evaluation grid
+    (adam_run_withconfig_shiftSpline.py:175-263)."""
+    H, W, D = pred_fixed.shape
+    g2 = grid_sp_adam
+    ff, fm = semantic_features(pred_fixed, pred_moving, num_labels=num_labels + 1, mult=1.0)
+    ff = ff * nn_mult
+    fm = fm * nn_mult
+    # data-term scale = per-pair count of jointly-present labels (the sweep's
+    # `n_ch`, adam_run_withconfig_shiftSpline.py:195,229)
+    counts = jnp.bincount(
+        pred_fixed.astype(jnp.int32).reshape(-1), length=num_labels + 1
+    ) + jnp.bincount(pred_moving.astype(jnp.int32).reshape(-1), length=num_labels + 1)
+    cost_scale = jnp.sum(counts > 0).astype(jnp.float32)
+    patch_fix = avg_pool3d(ff, g2, stride=g2)
+    patch_mov = avg_pool3d(fm, g2, stride=g2)
+
+    disp_hr0 = resize_trilinear(disp_lr_coarse, (H, W, D), align_corners=False)
+    disp_lr = resize_trilinear(
+        disp_hr0, (H // g2, W // g2, D // g2), align_corners=False
+    )
+
+    _, snaps = adam_instance_optimisation(
+        patch_fix,
+        patch_mov,
+        disp_lr / g2,
+        lambda_weight,
+        niter=120,
+        snapshot_iters=STAGE2_SNAPSHOT_ITERS,
+        smoother=("bank", avg_n),
+        cost_scale=cost_scale,
+    )
+
+    def eval_variant(field_lr):
+        disp_hr = resize_trilinear(field_lr * g2, (H, W, D), align_corners=False)
+        out = []
+        for kk in range(4):
+            if kk > 0:
+                disp_hr = box_smooth_repeated(disp_hr, 3, 1)
+            d, js, nf, sw = evaluate_field_semantic(
+                disp_hr, seg_fixed, seg_moving, num_labels
+            )
+            out.append((d, js, nf, sw))
+        dice_v = jnp.stack([o[0] for o in out])  # (4, L)
+        js_v = jnp.stack([o[1] for o in out])
+        nf_v = jnp.stack([o[2] for o in out])
+        sw_v = jnp.stack([o[3] for o in out])
+        return dice_v, js_v, nf_v, sw_v
+
+    dice_g, js_g, nf_g, sw_g = jax.vmap(eval_variant)(snaps)  # (4 iters, 4 smooth, ...)
+    return dice_g, js_g, nf_g, sw_g
+
+
+def run_stage2_sweep(
+    preds: np.ndarray,
+    segs: np.ndarray,
+    pairs: Sequence[tuple[int, int]],
+    convex_setting: Stage1Setting,
+    adam_settings: Sequence[Stage2Setting],
+    num_labels: int,
+    compute_hd95: bool = False,
+    verbose: bool = False,
+) -> SweepResult:
+    """Stage-2 semantic sweep: cache best-convex fields (pass A), then sweep
+    Adam settings x 16 evaluation variants (pass B), rank over the flattened
+    S x 16 grid (adam_run_withconfig_shiftSpline.py:43-307)."""
+    pairs = list(pairs)
+    robust30 = _robust30_label_sets(segs, pairs, num_labels)
+    preds_j = jnp.asarray(preds, jnp.int32)
+    segs_j = jnp.asarray(segs, jnp.int32)
+    fi = np.array([p[0] for p in pairs])
+    mi = np.array([p[1] for p in pairs])
+
+    # pass A: cached coarse convex fields
+    coarse_fn = jax.jit(
+        jax.vmap(
+            lambda pf, pm, mult: convex_field_semantic(
+                pf, pm, mult, num_labels=num_labels + 1,
+                grid_sp=convex_setting.grid_sp, disp_hw=convex_setting.disp_hw,
+                coarse=True,
+            ),
+            in_axes=(0, 0, None),
+        )
+    )
+    disps_lr = coarse_fn(preds_j[fi], preds_j[mi], jnp.float32(convex_setting.nn_mult))
+
+    S = len(adam_settings)
+    dice = np.zeros((S, 4, 4, 2))
+    jstd = np.zeros((S, 4, 4, 2))
+    hd = np.zeros((S, 4, 4))
+    times = np.zeros(S)
+
+    # cost scale = number of jointly-present feature channels (the sweep's
+    # `n_ch`, adam_run_withconfig_shiftSpline.py:229); our static-channel
+    # semantic features make this the count of present labels
+    counts = np.bincount(
+        np.concatenate([np.asarray(preds[k]).ravel() for k in set(fi) | set(mi)]),
+        minlength=num_labels + 1,
+    )
+    n_ch = float((counts > 0).sum())
+
+    batched = {}
+    for s, st in enumerate(adam_settings):
+        t0 = time.time()
+        key = (st.grid_sp_adam, st.effective_avg_n)
+        if key not in batched:
+            batched[key] = jax.jit(
+                jax.vmap(
+                    lambda pf, pm, sf, sm, dl, mult, lw, _g=st.grid_sp_adam, _a=st.effective_avg_n: _stage2_pair(
+                        pf, pm, sf, sm, dl, mult, lw,
+                        grid_sp_adam=_g, avg_n=_a, cost_scale=n_ch,
+                        num_labels=num_labels,
+                    ),
+                    in_axes=(0, 0, 0, 0, 0, None, None),
+                )
+            )
+        dice_g, js_g, nf_g, sw_g = batched[key](
+            preds_j[fi], preds_j[mi], segs_j[fi], segs_j[mi], disps_lr,
+            jnp.float32(convex_setting.nn_mult), jnp.float32(st.lambda_weight),
+        )
+        dg = np.asarray(dice_g)  # (P, 4, 4, L)
+        dice[s, :, :, 0] = dg.mean(axis=(0, 3))
+        dice[s, :, :, 1] = np.mean(
+            [dg[i][:, :, robust30[i]].mean(-1) for i in range(len(pairs))], axis=0
+        )
+        jstd[s, :, :, 0] = np.asarray(js_g).mean(0)
+        jstd[s, :, :, 1] = np.asarray(nf_g).mean(0)
+        if compute_hd95:
+            sw = np.asarray(sw_g)  # (P, 4, 4, H, W, D)
+            for ii in range(4):
+                for kk in range(4):
+                    hd[s, ii, kk] = np.mean(
+                        [
+                            hd95(
+                                np.asarray(segs[fi[i]]),
+                                sw[i, ii, kk].round().astype(np.int32),
+                                num_labels,
+                            ).mean()
+                            for i in range(len(pairs))
+                        ]
+                    )
+        times[s] = time.time() - t0
+        if verbose:
+            print(
+                f"s={s} {st} best dice={dice[s,...,0].max():.4f} "
+                f"t={times[s]:.2f}s"
+            )
+
+    flat_dice = dice[..., 0].reshape(-1)
+    flat_drob = dice[..., 1].reshape(-1)
+    flat_jstd = jstd[..., 0].reshape(-1)
+    flat_hd = hd.reshape(-1)
+    rank2 = rank_product(
+        [
+            sort_rank(-flat_dice),
+            sort_rank(-flat_drob),
+            sort_rank(flat_jstd),
+            sort_rank(flat_hd),
+        ]
+    )
+    return SweepResult(
+        dice.reshape(S * 16, 2),
+        jstd.reshape(S * 16, 2),
+        flat_hd,
+        times,
+        rank2,
+        int(rank2.argmax()),
+    )

@@ -122,3 +122,67 @@ def test_warp_with_displacement_zero_is_identity(rng):
     disp = np.zeros((3, 8, 8, 8), np.float32)
     out = np.asarray(warp.warp_with_displacement(jnp.asarray(vol), jnp.asarray(disp)))
     np.testing.assert_allclose(out, vol, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_sample_grad_matches_torch(rng, align_corners, padding_mode):
+    """The custom VJP must match torch's grid_sample backward in both vol
+    and grid cotangents."""
+    import jax
+
+    vol = _rand_vol(rng, C=2, H=5, W=6, D=7)
+    grid = rng.uniform(-1.2, 1.2, size=(4, 3, 2, 3)).astype(np.float32)
+    ct = rng.standard_normal((2, 4, 3, 2)).astype(np.float32)
+
+    def f(v, g):
+        out = warp.grid_sample_3d(
+            jnp.asarray(v), jnp.asarray(g),
+            align_corners=align_corners, padding_mode=padding_mode,
+        )
+        return jnp.sum(out * jnp.asarray(ct))
+
+    dv, dg = jax.grad(f, argnums=(0, 1))(jnp.asarray(vol), jnp.asarray(grid))
+
+    tvol = torch.from_numpy(vol).unsqueeze(0).requires_grad_(True)
+    tgrid = torch.from_numpy(grid[..., ::-1].copy()).unsqueeze(0).requires_grad_(True)
+    out = F.grid_sample(
+        tvol, tgrid, mode="bilinear", padding_mode=padding_mode,
+        align_corners=align_corners,
+    )
+    (out * torch.from_numpy(ct).unsqueeze(0)).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(dv), tvol.grad[0].numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dg), tgrid.grad[0].numpy()[..., ::-1], atol=1e-4
+    )
+
+
+def test_stacked_sampler_matches_plain(rng):
+    """The corner-stacked fast path must be numerically identical to the
+    plain sampler in both value and displacement gradient, including at
+    borders and with out-of-range samples."""
+    import jax
+
+    C, H, W, D = 3, 7, 8, 6
+    vol = _rand_vol(rng, C=C, H=H, W=W, D=D)
+    disp = (rng.standard_normal((3, H, W, D)) * 3.0).astype(np.float32)
+
+    plain = warp.warp_with_displacement(jnp.asarray(vol), jnp.asarray(disp))
+    vol8 = warp.build_corner_stack(jnp.asarray(vol))
+    stacked = warp.warp_with_displacement_stacked(
+        vol8, (C, H, W, D), jnp.asarray(disp)
+    )
+    np.testing.assert_allclose(np.asarray(stacked), np.asarray(plain), atol=1e-5)
+
+    g_plain = jax.grad(
+        lambda d: jnp.sum(warp.warp_with_displacement(jnp.asarray(vol), d) ** 2)
+    )(jnp.asarray(disp))
+    g_stacked = jax.grad(
+        lambda d: jnp.sum(
+            warp.warp_with_displacement_stacked(vol8, (C, H, W, D), d) ** 2
+        )
+    )(jnp.asarray(disp))
+    np.testing.assert_allclose(
+        np.asarray(g_stacked), np.asarray(g_plain), rtol=1e-4, atol=1e-4
+    )

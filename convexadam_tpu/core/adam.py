@@ -149,12 +149,11 @@ def adam_instance_optimisation(
       reference would output with ``selected_niter=k``).
     """
     feat_fix = feat_fix.astype(jnp.float32)
-    feat_mov = feat_mov.astype(jnp.float32)
     w0 = disp_init.astype(jnp.float32)
     smooth_fn = resolve_smoother(smoother)
     # corner stack: built once, loop-invariant (hoisted out of the scan) —
     # turns the 8 per-corner gathers per iteration into one tall-column
-    # gather (~4x faster on TPU, see warp.build_corner_stack)
+    # gather; kept in the caller's feature dtype (bf16 halves traffic)
     feat_mov_stack = build_corner_stack(feat_mov)
     feat_mov_shape = tuple(feat_mov.shape)
 

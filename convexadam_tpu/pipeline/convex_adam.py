@@ -121,7 +121,13 @@ def _adam_stage(
     H, W, D = feat_fix.shape[1:]
     g2 = cfg.grid_sp_adam
     patch_fix = avg_pool3d(feat_fix.astype(jnp.float32), g2, stride=g2)
-    patch_mov = avg_pool3d(feat_mov.astype(jnp.float32), g2, stride=g2)
+    # the moving features stay in the configured compute dtype: with bf16
+    # the corner-stack gather traffic halves (the reference analogously
+    # keeps fp16 features on GPU, convex_adam_MIND.py:79); accumulation in
+    # the sampler is f32 either way
+    patch_mov = avg_pool3d(
+        feat_mov.astype(jnp.float32), g2, stride=g2
+    ).astype(cfg.compute_dtype)
 
     disp_lr = resize_trilinear(
         disp_hr, (H // g2, W // g2, D // g2), align_corners=False

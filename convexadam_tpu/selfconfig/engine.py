@@ -370,15 +370,6 @@ def run_stage2_sweep(
     hd = np.zeros((S, 4, 4))
     times = np.zeros(S)
 
-    # cost scale = number of jointly-present feature channels (the sweep's
-    # `n_ch`, adam_run_withconfig_shiftSpline.py:229); our static-channel
-    # semantic features make this the count of present labels
-    counts = np.bincount(
-        np.concatenate([np.asarray(preds[k]).ravel() for k in set(fi) | set(mi)]),
-        minlength=num_labels + 1,
-    )
-    n_ch = float((counts > 0).sum())
-
     batched = {}
     for s, st in enumerate(adam_settings):
         t0 = time.time()
@@ -388,8 +379,7 @@ def run_stage2_sweep(
                 jax.vmap(
                     lambda pf, pm, sf, sm, dl, mult, lw, _g=st.grid_sp_adam, _a=st.effective_avg_n: _stage2_pair(
                         pf, pm, sf, sm, dl, mult, lw,
-                        grid_sp_adam=_g, avg_n=_a, cost_scale=n_ch,
-                        num_labels=num_labels,
+                        grid_sp_adam=_g, avg_n=_a, num_labels=num_labels,
                     ),
                     in_axes=(0, 0, 0, 0, 0, None, None),
                 )

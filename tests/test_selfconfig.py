@@ -1,0 +1,112 @@
+"""Tests for the self-configuring sweep subsystem."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from convexadam_tpu.selfconfig import (
+    Stage1Setting,
+    Stage2Setting,
+    decode_adam_variant,
+    run_stage1_sweep,
+    run_stage2_sweep,
+    stage1_paired_settings,
+    stage1_settings,
+    stage2_settings,
+)
+
+
+def test_stage1_sampler_bounds_and_determinism():
+    s = stage1_settings()
+    assert len(s) == 100
+    assert s == stage1_settings()  # deterministic
+    for st in s:
+        assert st.nn_mult in {2, 5, 7, 10, 12, 15}  # int(2.5*k), k=1..6
+        assert 2 <= st.grid_sp <= 5
+        assert 2 <= st.disp_hw <= 7
+        if st.grid_sp == 2:
+            assert st.disp_hw <= 5  # cap rule (convex_run_withconfig.py:68)
+
+
+def test_stage1_paired_sampler_bounds():
+    s = stage1_paired_settings()
+    assert len(s) == 100
+    for st in s:
+        assert 1 <= st.mind_r <= 3 and 1 <= st.mind_d <= 3
+        assert 2 <= st.grid_sp <= 5 and 2 <= st.disp_hw <= 7
+        if st.grid_sp == 2:
+            assert st.disp_hw <= 5
+
+
+def test_stage2_sampler_bounds():
+    s = stage2_settings()
+    assert len(s) == 75
+    for st in s:
+        assert 1 <= st.grid_sp_adam <= 4
+        assert 1 <= st.avg_n <= 5
+        assert 0.3 <= st.lambda_weight <= 1.7
+        assert 0 <= st.effective_avg_n <= 7  # valid smoother-bank index
+
+
+def test_decode_adam_variant():
+    assert decode_adam_variant(0) == (60, 0)
+    assert decode_adam_variant(5) == (80, 1)
+    assert decode_adam_variant(15) == (120, 3)
+
+
+def _synthetic_dataset(K=3, shape=(36, 36, 36), seed=0):
+    """K label volumes: a shifted pattern of nested boxes per subject."""
+    rng = np.random.default_rng(seed)
+    segs = []
+    for k in range(K):
+        seg = np.zeros(shape, np.int32)
+        o = rng.integers(-3, 4, 3)
+        seg[
+            8 + o[0]: 26 + o[0], 8 + o[1]: 26 + o[1], 8 + o[2]: 26 + o[2]
+        ] = 1
+        seg[
+            13 + o[0]: 21 + o[0], 13 + o[1]: 21 + o[1], 13 + o[2]: 21 + o[2]
+        ] = 2
+        segs.append(seg)
+    segs = np.stack(segs)
+    return segs, segs.copy()  # predictions == ground truth
+
+
+def test_stage1_sweep_end_to_end():
+    preds, segs = _synthetic_dataset()
+    pairs = [(0, 1), (1, 2)]
+    settings = [
+        Stage1Setting(nn_mult=10, grid_sp=3, disp_hw=2),
+        Stage1Setting(nn_mult=10, grid_sp=4, disp_hw=3),
+    ]
+    res = run_stage1_sweep(preds, segs, pairs, settings, num_labels=2)
+    assert res.dice.shape == (2, 2)
+    assert res.hd95.shape == (2,)
+    assert 0 <= res.best < 2
+    # registration must improve over identity Dice
+    from convexadam_tpu.core.metrics import dice_coeff
+
+    d0 = float(
+        np.asarray(
+            dice_coeff(jnp.asarray(segs[0]), jnp.asarray(segs[1]), 3)
+        ).mean()
+    )
+    assert res.dice[res.best, 0] > d0
+
+
+def test_stage2_sweep_end_to_end():
+    preds, segs = _synthetic_dataset()
+    pairs = [(0, 1)]
+    convex = Stage1Setting(nn_mult=10, grid_sp=3, disp_hw=2)
+    adam_settings = [
+        Stage2Setting(grid_sp_adam=2, avg_n=1, lambda_weight=1.0),
+        Stage2Setting(grid_sp_adam=3, avg_n=2, lambda_weight=0.6),
+    ]
+    res = run_stage2_sweep(
+        preds, segs, pairs, convex, adam_settings, num_labels=2
+    )
+    assert res.dice.shape == (2 * 16, 2)
+    assert res.rank.shape == (2 * 16,)
+    assert 0 <= res.best < 32
+    assert np.isfinite(res.dice).all()

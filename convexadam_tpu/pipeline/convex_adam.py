@@ -208,6 +208,57 @@ def convex_adam_semantic_jax(
     return convex_adam_features(feat_fix, feat_mov, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "iters", "smoothings"))
+def convex_adam_multi_output(
+    feat_fix: jax.Array,
+    feat_mov: jax.Array,
+    cfg: ConvexAdamConfig = ConvexAdamConfig(),
+    iters: tuple[int, ...] = (40, 60, 80),
+    smoothings: tuple[int, ...] = (0, 3, 5),
+) -> jax.Array:
+    """Multi-output run on precomputed features: one optimisation, fields
+    snapshotted at every iteration count in ``iters`` and post-smoothed with
+    every cascade in ``smoothings`` (0 = none, else triple k^3 box).
+
+    Equivalent of the self-configuring multi-output pipeline forks that
+    return 9 = {40,60,80} x {0,3,5} variants from a single Adam run
+    (reference self_configuring/convex_adam_MIND.py:115-147).  Returns
+    (len(iters), len(smoothings), H, W, D, 3).
+    """
+    H, W, D = feat_fix.shape[1:]
+    g2 = cfg.grid_sp_adam
+    disp_hr = _convex_stage(feat_fix, feat_mov, cfg, (H, W, D))
+
+    patch_fix = avg_pool3d(feat_fix.astype(jnp.float32), g2, stride=g2)
+    patch_mov = avg_pool3d(feat_mov.astype(jnp.float32), g2, stride=g2).astype(
+        cfg.compute_dtype
+    )
+    disp_lr = resize_trilinear(
+        disp_hr, (H // g2, W // g2, D // g2), align_corners=False
+    )
+    from convexadam_tpu.core.adam import adam_instance_optimisation
+
+    _, snaps = adam_instance_optimisation(
+        patch_fix,
+        patch_mov,
+        disp_lr / g2,
+        lambda_weight=cfg.lambda_weight,
+        niter=max(iters),
+        snapshot_iters=iters,
+    )
+
+    outs = []
+    for i in range(len(iters)):
+        hr = resize_trilinear(snaps[i] * g2, (H, W, D), align_corners=False)
+        row = []
+        for k in smoothings:
+            row.append(
+                jnp.moveaxis(box_smooth_repeated(hr, k, 3) if k > 0 else hr, 0, -1)
+            )
+        outs.append(jnp.stack(row))
+    return jnp.stack(outs)
+
+
 def convex_adam(
     img_fixed: np.ndarray,
     img_moving: np.ndarray,

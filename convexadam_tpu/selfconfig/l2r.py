@@ -1,0 +1,324 @@
+"""Learn2Reg task driver: dataset-descriptor-driven grid ablation, official
+statistical ranking, and test-set submission — with a built-in evaluator.
+
+Reference: self_configuring/l2r3.py (orchestrator) +
+main_for_l2r3_{MIND,nnUNet}[_testset].py (runners).  The reference delegates
+metric computation to the external ``L2R_main.evaluation`` repo (never
+vendored, main_for_l2r3_MIND.py:10); this module implements the evaluation
+(Dice / HD95 / TRE / SDlogJ, incl. the robust "30" percentile field) itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from convexadam_tpu.core.features import mindssc
+from convexadam_tpu.core.metrics import (
+    dice_coeff,
+    hd95,
+    jacobian_determinant,
+    keypoint_tre,
+)
+from convexadam_tpu.core.warp import warp_with_displacement
+from convexadam_tpu.geometry.io import load_volume_nib_order, save_volume_nib_order
+from convexadam_tpu.pipeline.convex_adam import (
+    ConvexAdamConfig,
+    convex_adam_multi_output,
+)
+from convexadam_tpu.pipeline.preprocess import mask_infill
+from convexadam_tpu.selfconfig.rank import (
+    aggregate_ranks,
+    noisy_metric_rank,
+)
+
+
+@dataclasses.dataclass
+class L2RTask:
+    """A Learn2Reg-style task directory with ``<task>_dataset.json``
+    (l2r3.py:75-103, main_for_l2r3_MIND.py:27-44)."""
+
+    task_dir: Path
+    name: str
+    modality_fixed: str = ""
+    modality_moving: str = ""
+    semantic_features: bool = False
+    use_mask: bool = False
+    expected_shape: tuple[int, int, int] = (0, 0, 0)
+    registration_val: list = dataclasses.field(default_factory=list)
+    registration_test: list = dataclasses.field(default_factory=list)
+    evaluation_methods: list = dataclasses.field(default_factory=list)
+
+    @classmethod
+    def load(cls, data_dir, task_name: str) -> "L2RTask":
+        task_dir = Path(data_dir) / task_name
+        with open(task_dir / f"{task_name}_dataset.json") as f:
+            data = json.load(f)
+        mods = data.get("modality", {"0": ""})
+        modality_fixed = mods.get("0", "")
+        modality_moving = mods.get("1", modality_fixed)
+        provided = data.get("provided_data", {})
+        semantic = any("label" in v for v in provided.values())
+        masks = any("mask" in v for v in provided.values())
+
+        eval_cfg = task_dir / f"{task_name}_VAL_evaluation_config.json"
+        methods = []
+        expected_shape = (0, 0, 0)
+        if eval_cfg.exists():
+            with open(eval_cfg) as f:
+                ec = json.load(f)
+            methods = ec.get("evaluation_methods", [])
+            expected_shape = tuple(ec.get("expected_shape", (0, 0, 0)))
+        return cls(
+            task_dir=task_dir,
+            name=task_name,
+            modality_fixed=modality_fixed,
+            modality_moving=modality_moving,
+            semantic_features=semantic,
+            use_mask=masks,
+            expected_shape=expected_shape,
+            registration_val=data.get("registration_val", []),
+            registration_test=data.get("registration_test", []),
+            evaluation_methods=methods,
+        )
+
+    # heuristics from l2r3.py:54-71,97-103
+    @property
+    def grid_options(self) -> tuple[list[int], list[int], list[float]]:
+        vol = int(np.prod(self.expected_shape)) if all(self.expected_shape) else 0
+        if vol > 1_000_000:
+            grid_sps, disp_hws = [6], [6, 4]
+        else:
+            grid_sps, disp_hws = [4], [4, 2]
+        return grid_sps, disp_hws, [0.75, 1.0, 1.25]
+
+    @property
+    def mind_params(self) -> tuple[int, int]:
+        if "US" in self.modality_fixed or "US" in self.modality_moving:
+            return 3, 3
+        return 1, 2
+
+
+def evaluate_field(
+    disp: np.ndarray,
+    seg_fixed: Optional[np.ndarray] = None,
+    seg_moving: Optional[np.ndarray] = None,
+    num_labels: int = 0,
+    kpts_fixed: Optional[np.ndarray] = None,
+    kpts_moving: Optional[np.ndarray] = None,
+    spacing: Optional[np.ndarray] = None,
+    compute_hd95: bool = True,
+) -> dict:
+    """Official-style per-case metrics for a displacement field (H, W, D, 3).
+
+    Returns dice (per label), dice30 (worst-30% labels), hd95, tre (per
+    keypoint), sdlogj.
+    """
+    d = jnp.moveaxis(jnp.asarray(disp, jnp.float32), -1, 0)
+    out: dict = {}
+    det = np.asarray(jacobian_determinant(d))
+    out["sdlogj"] = float(
+        np.std(np.log(np.clip(det + 3.0, 1e-9, 1e9)))
+    )
+    out["neg_jac_frac"] = float(np.mean(det < 0))
+    if seg_fixed is not None and num_labels > 0:
+        warped = np.asarray(
+            warp_with_displacement(
+                jnp.asarray(seg_moving, jnp.float32)[None], d, mode="nearest"
+            )[0]
+        ).round().astype(np.int32)
+        dice = np.asarray(
+            dice_coeff(jnp.asarray(seg_fixed), jnp.asarray(warped), num_labels + 1)
+        )
+        out["dice"] = dice
+        k = max(1, int((num_labels + 1) * 0.3))
+        out["dice30"] = float(np.sort(dice)[:k].mean())
+        if compute_hd95:
+            out["hd95"] = hd95(seg_fixed, warped, num_labels)
+    if kpts_fixed is not None:
+        tre = np.asarray(
+            keypoint_tre(
+                d,
+                jnp.asarray(kpts_fixed, jnp.float32),
+                jnp.asarray(kpts_moving, jnp.float32),
+                None if spacing is None else jnp.asarray(spacing, jnp.float32),
+            )
+        )
+        out["tre"] = tre
+        k = max(1, int(len(tre) * 0.3))
+        out["tre30"] = float(np.sort(tre)[-k:].mean())
+    return out
+
+
+def run_validation_grid(
+    task: L2RTask,
+    output_dir,
+    iters: tuple[int, ...] = (40, 60, 80),
+    smoothings: tuple[int, ...] = (0, 3, 5),
+    dtype: str = "float32",
+    verbose: bool = True,
+    grid_override: Optional[tuple[list, list, list]] = None,
+) -> dict:
+    """Run the l2r3 grid ablation over the validation pairs: for every
+    (grid_sp, disp_hw, lambda) x 9 output variants, save fields and collect
+    per-case metrics (l2r3.py:106-221 + main_for_l2r3_MIND.py:15-175).
+
+    Returns {variant_key: {"dice": (cases, L), "sdlogj": (cases,), ...,
+    "median_case_time": float}}.
+    """
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    mind_r, mind_d = task.mind_params
+    grid_sps, disp_hws, lambdas = grid_override or task.grid_options
+
+    results: dict = {}
+    for grid_sp in grid_sps:
+        for disp_hw in disp_hws:
+            for lam in lambdas:
+                key0 = f"MIND;{grid_sp};{disp_hw};{lam}"
+                per_variant = {
+                    f"{key0};{it};{sm}": {"dice": [], "dice30": [], "hd95": [],
+                                          "sdlogj": [], "time": []}
+                    for it in iters for sm in smoothings
+                }
+                cfg = ConvexAdamConfig(
+                    mind_r=mind_r, mind_d=mind_d, lambda_weight=lam,
+                    grid_sp=grid_sp, disp_hw=disp_hw, dtype=dtype,
+                )
+                for pair in task.registration_val:
+                    t0 = time.time()
+                    fixed, affine = load_volume_nib_order(
+                        task.task_dir / pair["fixed"]
+                    )
+                    moving, _ = load_volume_nib_order(task.task_dir / pair["moving"])
+                    fixed = np.asarray(fixed, np.float32)
+                    moving = np.asarray(moving, np.float32)
+                    if task.use_mask:
+                        mf, _ = load_volume_nib_order(
+                            task.task_dir / pair["fixed"].replace("images", "masks")
+                        )
+                        mm, _ = load_volume_nib_order(
+                            task.task_dir / pair["moving"].replace("images", "masks")
+                        )
+                        fixed = mask_infill(fixed, np.asarray(mf, np.float32))
+                        moving = mask_infill(moving, np.asarray(mm, np.float32))
+                    ff = mindssc(jnp.asarray(fixed), mind_r, mind_d).astype(
+                        cfg.compute_dtype
+                    )
+                    fm = mindssc(jnp.asarray(moving), mind_r, mind_d).astype(
+                        cfg.compute_dtype
+                    )
+                    fields = np.asarray(
+                        convex_adam_multi_output(ff, fm, cfg, iters, smoothings),
+                        np.float32,
+                    )
+                    case_time = time.time() - t0
+
+                    seg_f = seg_m = None
+                    num_labels = 0
+                    lf = task.task_dir / pair["fixed"].replace("images", "labels")
+                    lm = task.task_dir / pair["moving"].replace("images", "labels")
+                    if lf.exists() and lm.exists():
+                        seg_f = np.asarray(
+                            load_volume_nib_order(lf)[0], np.int32
+                        )
+                        seg_m = np.asarray(
+                            load_volume_nib_order(lm)[0], np.int32
+                        )
+                        num_labels = int(max(seg_f.max(), seg_m.max()))
+
+                    for a, it in enumerate(iters):
+                        for b, sm in enumerate(smoothings):
+                            vkey = f"{key0};{it};{sm}"
+                            m = evaluate_field(
+                                fields[a, b], seg_f, seg_m, num_labels
+                            )
+                            r = per_variant[vkey]
+                            if "dice" in m:
+                                r["dice"].append(m["dice"])
+                                r["dice30"].append(m["dice30"])
+                                r["hd95"].append(m["hd95"])
+                            r["sdlogj"].append(m["sdlogj"])
+                            r["time"].append(case_time)
+                            # persist the field like the reference runners
+                            name = Path(pair["fixed"]).stem.replace(".nii", "")
+                            save_volume_nib_order(
+                                fields[a, b],
+                                affine,
+                                output_dir / f"disp_{vkey.replace(';', '_')}_{name}.nii.gz",
+                            )
+                    if verbose:
+                        print(f"{key0} case {pair['fixed']}: {case_time:.2f}s")
+                for vkey, r in per_variant.items():
+                    results[vkey] = {
+                        k: np.asarray(v) for k, v in r.items() if len(v)
+                    }
+                    results[vkey]["median_case_time"] = float(
+                        np.median(r["time"])
+                    )
+    return results
+
+
+def select_winner(results: dict, repeats: int = 50) -> tuple[str, np.ndarray]:
+    """Official-style winner selection over variant results
+    (l2r3.py:298-361): noisy Wilcoxon ranks of {dice mean, dice30, sdlogj,
+    time}, geometric mean double-weighting dice."""
+    keys = list(results.keys())
+    dice = np.stack([results[k]["dice"].mean(axis=1) for k in keys])
+    dice30 = np.stack([results[k]["dice30"] for k in keys])
+    sdlogj = np.stack([results[k]["sdlogj"] for k in keys])
+    times = np.stack(
+        [np.broadcast_to(results[k]["median_case_time"], dice.shape[1]) for k in keys]
+    )
+    r0 = noisy_metric_rank(dice, higher_is_better=True, repeats=repeats)
+    r1 = noisy_metric_rank(dice30, higher_is_better=True, repeats=repeats)
+    r2 = noisy_metric_rank(sdlogj, higher_is_better=False, repeats=repeats)
+    r3 = noisy_metric_rank(times, higher_is_better=False, repeats=repeats, noise=0.2)
+    agg = aggregate_ranks([r0, r1, r2, r3])
+    return keys[int(np.argmax(agg))], agg
+
+
+def run_testset(
+    task: L2RTask,
+    winner_key: str,
+    output_dir,
+    dtype: str = "float32",
+) -> list[Path]:
+    """Re-run the winning variant on the test pairs and save submission
+    fields (main_for_l2r3_MIND_testset.py)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    _, grid_sp, disp_hw, lam, it, sm = winner_key.split(";")
+    mind_r, mind_d = task.mind_params
+    cfg = ConvexAdamConfig(
+        mind_r=mind_r, mind_d=mind_d, lambda_weight=float(lam),
+        grid_sp=int(grid_sp), disp_hw=int(disp_hw),
+        selected_niter=int(it), selected_smooth=int(sm), dtype=dtype,
+    )
+    from convexadam_tpu.pipeline.convex_adam import convex_adam_jax
+
+    written = []
+    for pair in task.registration_test:
+        fixed, affine = load_volume_nib_order(task.task_dir / pair["fixed"])
+        moving, _ = load_volume_nib_order(task.task_dir / pair["moving"])
+        disp = np.asarray(
+            convex_adam_jax(
+                jnp.asarray(fixed, jnp.float32),
+                jnp.asarray(moving, jnp.float32),
+                cfg,
+            ),
+            np.float32,
+        )
+        out = output_dir / (
+            f"disp_{Path(pair['fixed']).name.split('.')[0]}_"
+            f"{Path(pair['moving']).name.split('.')[0]}.nii.gz"
+        )
+        save_volume_nib_order(disp, affine, out)
+        written.append(out)
+    return written

@@ -1,0 +1,218 @@
+"""Paired intra-patient sweeps (MIND features, keypoint TRE metric).
+
+Reference: convex_run_paired_mind.py (stage 1) and
+adam_run_paired_mind_shiftSpline.py (stage 2) — lung-CT style exhale/inhale
+registration evaluated by keypoint target registration error.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convexadam_tpu.core.adam import adam_instance_optimisation
+from convexadam_tpu.core.features import mindssc
+from convexadam_tpu.core.metrics import (
+    jacobian_determinant,
+    keypoint_tre,
+    rank_product,
+    sort_rank,
+)
+from convexadam_tpu.core.smoothing import avg_pool3d, box_smooth_repeated
+from convexadam_tpu.core.warp import resize_trilinear
+from convexadam_tpu.selfconfig.engine import SweepResult, convex_field_mind
+from convexadam_tpu.selfconfig.settings import (
+    STAGE2_SNAPSHOT_ITERS,
+    Stage1PairedSetting,
+    Stage2Setting,
+)
+
+
+def _robust30_keypoints(kf: np.ndarray, km: np.ndarray) -> np.ndarray:
+    """Indices of the 30% keypoints with the largest initial error
+    (convex_run_paired_mind.py:90-92)."""
+    tre0 = np.sqrt(((kf - km) ** 2).sum(-1))
+    k = int(len(tre0) * 0.3)
+    return np.argsort(-tre0)[: max(k, 1)]
+
+
+def run_stage1_paired_sweep(
+    imgs_fixed: np.ndarray,
+    imgs_moving: np.ndarray,
+    kpts_fixed: Sequence[np.ndarray],
+    kpts_moving: Sequence[np.ndarray],
+    settings: Sequence[Stage1PairedSetting],
+    spacing: Optional[np.ndarray] = None,
+    verbose: bool = False,
+) -> SweepResult:
+    """Stage-1 paired sweep: for each setting x pair, run the convex stage on
+    MIND features and score keypoint TRE (mean + robust30) and SDlogJ
+    (convex_run_paired_mind.py:104-204)."""
+    P = imgs_fixed.shape[0]
+    robust30 = [
+        _robust30_keypoints(np.asarray(kpts_fixed[i]), np.asarray(kpts_moving[i]))
+        for i in range(P)
+    ]
+    S = len(settings)
+    tre = np.zeros((S, 2))
+    jstd = np.zeros((S, 2))
+    times = np.zeros(S)
+
+    imgs_f = jnp.asarray(imgs_fixed, jnp.float32)
+    imgs_m = jnp.asarray(imgs_moving, jnp.float32)
+
+    compiled = {}
+    for s, st in enumerate(settings):
+        key = (st.mind_r, st.mind_d, st.grid_sp, st.disp_hw)
+        if key not in compiled:
+            compiled[key] = jax.jit(
+                jax.vmap(
+                    lambda f, m, _k=key: convex_field_mind(
+                        f, m, mind_r=_k[0], mind_d=_k[1],
+                        grid_sp=_k[2], disp_hw=_k[3],
+                    )
+                )
+            )
+        t0 = time.time()
+        disps = compiled[key](imgs_f, imgs_m)  # (P, 3, H, W, D)
+        for i in range(P):
+            t = np.asarray(
+                keypoint_tre(
+                    disps[i],
+                    jnp.asarray(kpts_fixed[i], jnp.float32),
+                    jnp.asarray(kpts_moving[i], jnp.float32),
+                    None if spacing is None else jnp.asarray(spacing, jnp.float32),
+                )
+            )
+            det = np.asarray(jacobian_determinant(disps[i]))
+            logd = np.log(np.clip(det + 3.0, 1e-9, 1e9))
+            tre[s, 0] += t.mean() / P
+            tre[s, 1] += t[robust30[i]].mean() / P
+            jstd[s, 0] += logd.std() / P
+            jstd[s, 1] += float((det < 0).mean()) / P
+        times[s] = time.time() - t0
+        if verbose:
+            print(f"s={s} {st} TRE={tre[s,0]:.3f}/{tre[s,1]:.3f} jstd={jstd[s,0]:.4f}")
+
+    # rank product over {tre, tre30, jstd} (convex_run_paired_mind.py:190-199)
+    rank1 = rank_product(
+        [sort_rank(tre[:, 0]), sort_rank(tre[:, 1]), sort_rank(jstd[:, 0])]
+    )
+    return SweepResult(tre, jstd, np.zeros(S), times, rank1, int(rank1.argmax()))
+
+
+def run_stage2_paired_sweep(
+    imgs_fixed: np.ndarray,
+    imgs_moving: np.ndarray,
+    kpts_fixed: Sequence[np.ndarray],
+    kpts_moving: Sequence[np.ndarray],
+    convex_setting: Stage1PairedSetting,
+    adam_settings: Sequence[Stage2Setting],
+    spacing: Optional[np.ndarray] = None,
+    verbose: bool = False,
+) -> SweepResult:
+    """Stage-2 paired sweep: Adam refinement with the shift-spline smoother
+    bank, evaluated at {60,80,100,120} iters x 4 smoothing levels by TRE
+    (adam_run_paired_mind_shiftSpline.py:160-296)."""
+    P = imgs_fixed.shape[0]
+    robust30 = [
+        _robust30_keypoints(np.asarray(kpts_fixed[i]), np.asarray(kpts_moving[i]))
+        for i in range(P)
+    ]
+    imgs_f = jnp.asarray(imgs_fixed, jnp.float32)
+    imgs_m = jnp.asarray(imgs_moving, jnp.float32)
+    H, W, D = imgs_fixed.shape[1:]
+
+    # pass A: cached convex fields (full-res)
+    conv_fn = jax.jit(
+        jax.vmap(
+            lambda f, m: convex_field_mind(
+                f, m, mind_r=convex_setting.mind_r, mind_d=convex_setting.mind_d,
+                grid_sp=convex_setting.grid_sp, disp_hw=convex_setting.disp_hw,
+            )
+        )
+    )
+    disps_hr0 = conv_fn(imgs_f, imgs_m)
+
+    S = len(adam_settings)
+    tre = np.zeros((S, 4, 4, 2))
+    jstd = np.zeros((S, 4, 4, 2))
+    times = np.zeros(S)
+
+    @jax.jit
+    def features(f, m, r=convex_setting.mind_r, d=convex_setting.mind_d):
+        return mindssc(f, r, d), mindssc(m, r, d)
+
+    compiled = {}
+    for s, st in enumerate(adam_settings):
+        t0 = time.time()
+        g2 = st.grid_sp_adam
+        key = (g2, st.effective_avg_n)
+        if key not in compiled:
+            def one_pair(f, m, d0, lw, _g=g2, _a=st.effective_avg_n):
+                ff, fm = mindssc(f, convex_setting.mind_r, convex_setting.mind_d), \
+                         mindssc(m, convex_setting.mind_r, convex_setting.mind_d)
+                pf = avg_pool3d(ff, _g, stride=_g)
+                pm = avg_pool3d(fm, _g, stride=_g)
+                dlr = resize_trilinear(
+                    d0, (H // _g, W // _g, D // _g), align_corners=False
+                )
+                _, snaps = adam_instance_optimisation(
+                    pf, pm, dlr / _g, lw, niter=120,
+                    snapshot_iters=STAGE2_SNAPSHOT_ITERS,
+                    smoother=("bank", _a), cost_scale=12.0,
+                )
+
+                def variants(field_lr):
+                    dhr = resize_trilinear(
+                        field_lr * _g, (H, W, D), align_corners=False
+                    )
+                    outs = []
+                    for kk in range(4):
+                        if kk > 0:
+                            dhr = box_smooth_repeated(dhr, 3, 1)
+                        outs.append(dhr)
+                    return jnp.stack(outs)
+
+                return jax.vmap(variants)(snaps)  # (4 iters, 4 smooth, 3, H, W, D)
+
+            compiled[key] = jax.jit(jax.vmap(one_pair, in_axes=(0, 0, 0, None)))
+        fields = compiled[key](
+            imgs_f, imgs_m, disps_hr0, jnp.float32(st.lambda_weight)
+        )  # (P, 4, 4, 3, H, W, D)
+        for i in range(P):
+            for ii in range(4):
+                for kk in range(4):
+                    d = fields[i, ii, kk]
+                    t = np.asarray(
+                        keypoint_tre(
+                            d,
+                            jnp.asarray(kpts_fixed[i], jnp.float32),
+                            jnp.asarray(kpts_moving[i], jnp.float32),
+                            None if spacing is None else jnp.asarray(spacing, jnp.float32),
+                        )
+                    )
+                    det = np.asarray(jacobian_determinant(d))
+                    logd = np.log(np.clip(det + 3.0, 1e-9, 1e9))
+                    tre[s, ii, kk, 0] += t.mean() / P
+                    tre[s, ii, kk, 1] += t[robust30[i]].mean() / P
+                    jstd[s, ii, kk, 0] += logd.std() / P
+                    jstd[s, ii, kk, 1] += float((det < 0).mean()) / P
+        times[s] = time.time() - t0
+        if verbose:
+            print(f"s={s} {st} best TRE={tre[s,...,0].min():.3f}")
+
+    flat_tre = tre[..., 0].reshape(-1)
+    flat_tre30 = tre[..., 1].reshape(-1)
+    flat_jstd = jstd[..., 0].reshape(-1)
+    rank2 = rank_product(
+        [sort_rank(flat_tre), sort_rank(flat_tre30), sort_rank(flat_jstd)]
+    )
+    return SweepResult(
+        tre.reshape(S * 16, 2), jstd.reshape(S * 16, 2),
+        np.zeros(S * 16), times, rank2, int(rank2.argmax()),
+    )

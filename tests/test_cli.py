@@ -1,0 +1,91 @@
+"""CLI smoke tests (in-process, CPU backend)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from convexadam_tpu.geometry.io import load_volume_nib_order, save_volume_nib_order
+
+
+@pytest.fixture(scope="module")
+def sweep_config(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sweepdata")
+    rng = np.random.default_rng(0)
+    shape = (32, 32, 32)
+    affine = np.eye(4)
+    for k in range(3):
+        o = rng.integers(-2, 3, 3)
+        seg = np.zeros(shape, np.float32)
+        seg[8 + o[0]: 26 + o[0], 8 + o[1]: 24 + o[1], 8 + o[2]: 24 + o[2]] = 1
+        seg[12 + o[0]: 20 + o[0], 12 + o[1]: 20 + o[1], 12 + o[2]: 20 + o[2]] = 2
+        save_volume_nib_order(seg, affine, root / f"pred_{k}.nii.gz")
+        save_volume_nib_order(seg, affine, root / f"gt_{k}.nii.gz")
+    config = {
+        "topk": [0, 1, 2],
+        "topk_pair": [[0, 1], [1, 2]],
+        "test": [0, 1, 2],
+        "test_pair": [[0, 2]],
+        "HWD": list(shape),
+        "f_predict": str(root / "pred_%d.nii.gz"),
+        "f_gt": str(root / "gt_%d.nii.gz"),
+        "num_labels": 3,
+        "output": str(root / "stage1.npz"),
+        "output_adam": str(root / "stage2.npz"),
+        "output_dir": str(root / "fields"),
+    }
+    cfg_path = root / "config.json"
+    with open(cfg_path, "w") as f:
+        json.dump(config, f)
+    return cfg_path, config
+
+
+def test_sweep_cli_infer(sweep_config, monkeypatch):
+    """Drive the infer stage (fast path: single setting, no 100x sweep)."""
+    cfg_path, config = sweep_config
+    from convexadam_tpu.cli import sweep
+
+    sweep.main(["infer", str(cfg_path), "--convex_s", "0", "--adam_s1", "0",
+                "--adam_s2", "1"])
+    import pathlib
+
+    fields = list(pathlib.Path(config["output_dir"]).glob("disp_*.nii.gz"))
+    assert len(fields) == 1
+    disp, _ = load_volume_nib_order(fields[0])
+    assert disp.shape == (32, 32, 32, 3)
+    assert np.isfinite(disp).all()
+
+
+def test_register_apply_cli_roundtrip(tmp_path):
+    from scipy.ndimage import uniform_filter
+
+    rng = np.random.default_rng(1)
+    vol = uniform_filter(rng.standard_normal((40, 40, 40)).astype(np.float32), 2) * 100
+    mov = np.roll(vol, (3, -2, 1), axis=(0, 1, 2))
+    affine = np.eye(4)
+    save_volume_nib_order(vol, affine, tmp_path / "f.nii.gz")
+    save_volume_nib_order(mov, affine, tmp_path / "m.nii.gz")
+
+    from convexadam_tpu.cli import apply as apply_cli
+    from convexadam_tpu.cli import register
+
+    register.main([
+        "-f", str(tmp_path / "f.nii.gz"), "-m", str(tmp_path / "m.nii.gz"),
+        "--grid_sp", "4", "--disp_hw", "2", "--selected_niter", "40",
+        "--result_path", str(tmp_path),
+    ])
+    disp, _ = load_volume_nib_order(tmp_path / "disp.nii.gz")
+    c = 10
+    med = np.median(disp[c:-c, c:-c, c:-c].reshape(-1, 3), axis=0)
+    np.testing.assert_allclose(med, [3, -2, 1], atol=0.5)
+
+    apply_cli.main([
+        "--input_field", str(tmp_path / "disp.nii.gz"),
+        "--input_moving", str(tmp_path / "m.nii.gz"),
+        "--output_warped", str(tmp_path / "warped.nii.gz"),
+    ])
+    warped, _ = load_volume_nib_order(tmp_path / "warped.nii.gz")
+    corr = np.corrcoef(
+        warped[c:-c, c:-c, c:-c].ravel(), vol[c:-c, c:-c, c:-c].ravel()
+    )[0, 1]
+    assert corr > 0.95

@@ -110,3 +110,45 @@ def test_stage2_sweep_end_to_end():
     assert res.rank.shape == (2 * 16,)
     assert 0 <= res.best < 32
     assert np.isfinite(res.dice).all()
+
+
+def test_paired_sweeps_end_to_end():
+    """Paired MIND sweeps (stage 1 + stage 2) on a tiny synthetic lung-like
+    case with keypoints."""
+    from scipy.ndimage import uniform_filter
+
+    from convexadam_tpu.selfconfig.paired import (
+        run_stage1_paired_sweep,
+        run_stage2_paired_sweep,
+    )
+    from convexadam_tpu.selfconfig.settings import Stage1PairedSetting
+
+    rng = np.random.default_rng(2)
+    shape = (36, 36, 36)
+    vol = uniform_filter(rng.standard_normal(shape).astype(np.float32), 2) * 100
+    shift = (3, -2, 2)
+    moving = np.roll(vol, shift, axis=(0, 1, 2))
+    kf = (rng.random((20, 3)).astype(np.float32) * 16 + 10)
+    # moving(x) = vol(x - shift): the point at kf in fixed corresponds to
+    # kf + shift in moving
+    km = kf + np.array(shift, np.float32)
+
+    imgs_f = vol[None]
+    imgs_m = moving[None]
+    settings = [
+        Stage1PairedSetting(mind_r=1, mind_d=2, grid_sp=3, disp_hw=2),
+        Stage1PairedSetting(mind_r=2, mind_d=2, grid_sp=4, disp_hw=2),
+    ]
+    res1 = run_stage1_paired_sweep(imgs_f, imgs_m, [kf], [km], settings)
+    assert res1.dice.shape == (2, 2)  # (S, mean/robust30) — TRE here
+    tre0 = np.sqrt(((kf - km) ** 2).sum(-1)).mean()
+    assert res1.dice[res1.best, 0] < tre0  # improved over identity
+
+    adam_settings = [
+        Stage2Setting(grid_sp_adam=2, avg_n=2, lambda_weight=1.0),
+    ]
+    res2 = run_stage2_paired_sweep(
+        imgs_f, imgs_m, [kf], [km], settings[res1.best], adam_settings
+    )
+    assert res2.dice.shape == (16, 2)
+    assert res2.dice[res2.best, 0] < tre0

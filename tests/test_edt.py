@@ -1,0 +1,80 @@
+"""Native EDT vs scipy parity."""
+
+import numpy as np
+import pytest
+
+scipy_edt = pytest.importorskip("scipy.ndimage").distance_transform_edt
+
+
+@pytest.fixture(scope="module")
+def native():
+    try:
+        from convexadam_tpu.native import edt
+    except Exception as e:  # toolchain missing → skip
+        pytest.skip(f"native edt unavailable: {e}")
+    return edt
+
+
+def _random_mask(rng, shape=(20, 22, 18), p=0.7):
+    return (rng.random(shape) < p).astype(np.uint8)
+
+
+def test_distance_matches_scipy(native, rng):
+    for seed in range(3):
+        m = _random_mask(np.random.default_rng(seed))
+        ours = native.distance(m)
+        theirs = scipy_edt(m)
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_nearest_indices_are_valid_sites(native, rng):
+    """Indices must point at zero voxels achieving the exact minimal
+    distance (site choice may differ from scipy on ties)."""
+    m = _random_mask(rng)
+    idx = native.nearest_indices(m)
+    dist = native.distance(m)
+    H, W, D = m.shape
+    gh, gw, gd = np.meshgrid(
+        np.arange(H), np.arange(W), np.arange(D), indexing="ij"
+    )
+    # pointed-at voxels are zero (sites)
+    assert np.all(m[idx[0], idx[1], idx[2]] == 0)
+    # distance to the pointed-at site equals the distance map
+    d2 = (idx[0] - gh) ** 2 + (idx[1] - gw) ** 2 + (idx[2] - gd) ** 2
+    np.testing.assert_allclose(np.sqrt(d2), dist, atol=1e-4)
+    # zero voxels map to themselves
+    zeros = m == 0
+    assert np.all(idx[0][zeros] == gh[zeros])
+    assert np.all(idx[1][zeros] == gw[zeros])
+    assert np.all(idx[2][zeros] == gd[zeros])
+
+
+def test_all_foreground_maps_to_self(native):
+    m = np.ones((6, 6, 6), np.uint8)
+    idx = native.nearest_indices(m)
+    gh, gw, gd = np.meshgrid(
+        np.arange(6), np.arange(6), np.arange(6), indexing="ij"
+    )
+    np.testing.assert_array_equal(idx[0], gh)
+    np.testing.assert_array_equal(idx[1], gw)
+    np.testing.assert_array_equal(idx[2], gd)
+
+
+def test_hd95_with_native_backend(native, rng):
+    """metrics.hd95 must give identical results with the native EDT."""
+    from convexadam_tpu.core import metrics
+    from convexadam_tpu.utils import edt as edt_mod
+
+    a = np.zeros((20, 20, 20), np.int32)
+    b = np.zeros((20, 20, 20), np.int32)
+    a[5:10, 5:15, 5:15] = 1
+    b[8:13, 5:15, 5:15] = 1
+
+    # force scipy
+    edt_mod._native = False
+    ref = metrics.hd95(a, b, 1)
+    # force native
+    edt_mod._native = native
+    ours = metrics.hd95(a, b, 1)
+    edt_mod._native = None  # reset autodetect
+    np.testing.assert_allclose(ours, ref, atol=1e-4)

@@ -47,18 +47,27 @@ def displacement_mesh(disp_hw: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(mesh, dtype=dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("disp_hw", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("disp_hw", "compute_dtype", "metric", "smooth_passes")
+)
 def correlate(
     feat_fix: jax.Array,
     feat_mov: jax.Array,
     disp_hw: int,
     compute_dtype=jnp.float32,
+    metric: str = "ssd",
+    smooth_passes: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
-    """SSD cost volume.
+    """Dense cost volume.
 
     Args:
       feat_fix, feat_mov: (C, H', W', D') coarse-grid features.
       disp_hw: displacement half-width ``q`` (static).
+      metric: "ssd" (default) or "sad" (the OASIS task-3 script uses absolute
+        differences, l2r_2021_convexAdam_task3_docker.py:54).
+      smooth_passes: number of 3^3 box-filter passes (2 in the packaged
+        pipeline, 1 in the lung task-2 script,
+        l2r_2021_convexAdam_task2_docker.py:60).
 
     Returns:
       ssd: (K**3, H', W', D') box-smoothed cost volume (layout above).
@@ -83,12 +92,13 @@ def correlate(
     def body(_, off):
         sl = lax.dynamic_slice(movp, (0, off[0], off[1], off[2]), (C, H, W, D))
         d = fix - sl
-        return None, jnp.sum(d * d, axis=0)
+        cost = jnp.abs(d) if metric == "sad" else d * d
+        return None, jnp.sum(cost, axis=0)
 
     _, ssd = lax.scan(body, None, offs)  # (K^3, H, W, D)
 
-    ssd = avg_pool3d(ssd, 3, stride=1, padding=1)
-    ssd = avg_pool3d(ssd, 3, stride=1, padding=1)
+    for _ in range(smooth_passes):
+        ssd = avg_pool3d(ssd, 3, stride=1, padding=1)
     return ssd, jnp.argmin(ssd, axis=0).astype(jnp.int32)
 
 

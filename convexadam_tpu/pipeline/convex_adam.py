@@ -259,19 +259,41 @@ def convex_adam_multi_output(
     return jnp.stack(outs)
 
 
+def validate_volume(img) -> np.ndarray:
+    """Accept numpy / jax arrays, MedicalImage, or torch tensors → float
+    numpy volume (the reference's ``validate_image`` adapter for
+    torch/np/sitk/nib inputs, convex_adam_utils.py:268-279)."""
+    from convexadam_tpu.geometry.image import MedicalImage
+
+    if isinstance(img, MedicalImage):
+        return np.asarray(img.data, np.float32)
+    if isinstance(img, (np.ndarray, jnp.ndarray)):
+        return np.asarray(img, np.float32)
+    # torch tensors (and anything else numpy-convertible)
+    if hasattr(img, "detach"):
+        img = img.detach()
+    if hasattr(img, "numpy"):
+        return np.asarray(img.numpy(), np.float32)
+    raise ValueError(
+        "Input image must be a numpy/jax array, MedicalImage, or torch tensor"
+    )
+
+
 def convex_adam(
-    img_fixed: np.ndarray,
-    img_moving: np.ndarray,
+    img_fixed,
+    img_moving,
     cfg: Optional[ConvexAdamConfig] = None,
     **overrides,
 ) -> np.ndarray:
-    """Convenience host-level entry point taking/returning numpy arrays.
-
-    ``overrides`` are ConvexAdamConfig fields (e.g. ``grid_sp=4``).
-    """
+    """Convenience host-level entry point (numpy/jax/MedicalImage/torch in,
+    numpy out).  ``overrides`` are ConvexAdamConfig fields (e.g. ``grid_sp=4``)."""
     if cfg is None:
         cfg = ConvexAdamConfig(**overrides)
     elif overrides:
         cfg = dataclasses.replace(cfg, **overrides)
-    out = convex_adam_jax(jnp.asarray(img_fixed), jnp.asarray(img_moving), cfg)
+    out = convex_adam_jax(
+        jnp.asarray(validate_volume(img_fixed)),
+        jnp.asarray(validate_volume(img_moving)),
+        cfg,
+    )
     return np.asarray(jax.device_get(out), dtype=np.float32)

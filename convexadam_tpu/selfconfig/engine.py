@@ -181,8 +181,13 @@ def run_stage1_sweep(
     num_labels: int,
     compute_hd95: bool = True,
     verbose: bool = False,
+    checkpoint_path=None,
 ) -> SweepResult:
     """Stage-1 semantic sweep (convex_run_withconfig.py:78-172).
+
+    With ``checkpoint_path`` the partial metric arrays are saved after every
+    setting (the reference's torch.save checkpointing,
+    convex_run_withconfig.py:156 — a crashed sweep loses at most one setting).
 
     ``preds``/``segs``: (K, H, W, D) integer label volumes (predictions and
     ground truth); ``pairs``: (fixed_idx, moving_idx) tuples; metrics are
@@ -241,6 +246,8 @@ def run_stage1_sweep(
                 ]
             )
         times[s] = time.time() - t0
+        if checkpoint_path is not None:
+            np.savez(checkpoint_path, dice=dice, jstd=jstd, hd95=hd, times=times, done=s)
         if verbose:
             print(
                 f"s={s} {st} dice={dice[s,0]:.4f}/{dice[s,1]:.4f} "
@@ -340,6 +347,7 @@ def run_stage2_sweep(
     num_labels: int,
     compute_hd95: bool = False,
     verbose: bool = False,
+    checkpoint_path=None,
 ) -> SweepResult:
     """Stage-2 semantic sweep: cache best-convex fields (pass A), then sweep
     Adam settings x 16 evaluation variants (pass B), rank over the flattened
@@ -410,6 +418,8 @@ def run_stage2_sweep(
                         ]
                     )
         times[s] = time.time() - t0
+        if checkpoint_path is not None:
+            np.savez(checkpoint_path, dice=dice, jstd=jstd, hd95=hd, times=times, done=s)
         if verbose:
             print(
                 f"s={s} {st} best dice={dice[s,...,0].max():.4f} "

@@ -1,0 +1,41 @@
+"""Regenerate the golden displacement fixture (run only for intentional
+behaviour changes): ``python -m tests.regen_golden``."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import pathlib
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+    import torch.nn.functional as F
+
+    from convexadam_tpu.pipeline.convex_adam import ConvexAdamConfig, convex_adam
+
+    seed, shift = 42, (4, -3, 2)
+    rng = np.random.default_rng(seed)
+    vol = rng.standard_normal((48, 48, 48)).astype(np.float32)
+    t = torch.from_numpy(vol)[None, None]
+    for _ in range(2):
+        t = F.avg_pool3d(t, 3, stride=1, padding=1)
+    vol = t[0, 0].numpy()
+    vol = (vol - vol.mean()) / vol.std() * 100
+    mov = np.roll(vol, shift, axis=(0, 1, 2))
+    cfg = ConvexAdamConfig(
+        grid_sp=4, disp_hw=2, lambda_weight=1.25, selected_niter=80, grid_sp_adam=2
+    )
+    disp = convex_adam(vol, mov, cfg)
+    out = pathlib.Path(__file__).parent / "golden_disp_48.npz"
+    np.savez_compressed(out, disp=disp.astype(np.float16), shift=shift, seed=seed)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

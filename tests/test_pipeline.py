@@ -158,3 +158,32 @@ def test_adam_snapshots_consistent():
     final4, _ = adam_instance_optimisation(fix, mov, init, 1.0, 4)
     np.testing.assert_allclose(np.asarray(snaps[0]), np.asarray(final4), atol=1e-6)
     np.testing.assert_allclose(np.asarray(snaps[1]), np.asarray(final10), atol=1e-6)
+
+
+def test_golden_regression():
+    """Cross-round behavioural guard: the pipeline output on a fixed
+    deterministic case must stay within tolerance of the stored golden field
+    (the reference's golden-output SSIM test analogue,
+    tests/test_convex_adam_mind.py:45-85; regenerate with
+    `python -m tests.regen_golden` only for intentional behaviour changes)."""
+    import pathlib
+
+    golden = np.load(pathlib.Path(__file__).parent / "golden_disp_48.npz")
+    rng = np.random.default_rng(int(golden["seed"]))
+    vol = rng.standard_normal((48, 48, 48)).astype(np.float32)
+    t = torch.from_numpy(vol)[None, None]
+    for _ in range(2):
+        t = F.avg_pool3d(t, 3, stride=1, padding=1)
+    vol = t[0, 0].numpy()
+    vol = (vol - vol.mean()) / vol.std() * 100
+    mov = np.roll(vol, tuple(golden["shift"]), axis=(0, 1, 2))
+
+    cfg = ConvexAdamConfig(
+        grid_sp=4, disp_hw=2, lambda_weight=1.25, selected_niter=80, grid_sp_adam=2
+    )
+    disp = convex_adam(vol, mov, cfg)
+    ref = golden["disp"].astype(np.float32)
+    # endpoint error tolerance: fp reassociation across backends/rounds
+    err = np.sqrt(((disp - ref) ** 2).sum(-1))
+    assert np.median(err) < 0.05, f"median endpoint error {np.median(err):.4f}"
+    assert np.quantile(err, 0.99) < 0.5, f"p99 {np.quantile(err, 0.99):.4f}"

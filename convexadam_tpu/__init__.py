@@ -6,8 +6,8 @@ The framework implements the two-stage ConvexAdam registration method
 instance optimisation) re-designed for TPU hardware:
 
 * all compute-path code is pure JAX (jit/vmap/shard_map-safe, static shapes),
-* the hot kernels (MIND-SSC features, SSD cost volume, coupled-convex argmin)
-  have fused Pallas implementations,
+* the SSD cost volume has a fused VMEM-resident Pallas kernel (auto-dispatch
+  with XLA fallback) and the trilinear samplers carry TPU-tuned custom VJPs,
 * the self-configuring hyperparameter search is vmapped over case pairs and
   sharded over TPU meshes instead of process-per-GPU sweeps,
 * geometry-aware I/O (NIfTI/MetaImage, spacing/direction resampling) is a

@@ -87,14 +87,14 @@ def correlate(
         and compute_dtype == jnp.float32
     ):
         from convexadam_tpu.ops.cost_volume_pallas import (  # noqa: PLC0415
-            cost_volume_pallas,
+            cost_volume_pallas_batchable,
             fits_vmem,
         )
 
         if fits_vmem(feat_fix.shape, q, 4):
             # inputs cast to f32 first (matches this path's compute_dtype;
             # bf16 VMEM tiling also breaks unaligned DMA slices in Mosaic)
-            ssd = cost_volume_pallas(
+            ssd = cost_volume_pallas_batchable(
                 feat_fix.astype(jnp.float32), feat_mov.astype(jnp.float32), q
             )
             for _ in range(smooth_passes):

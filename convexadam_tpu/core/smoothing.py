@@ -63,6 +63,20 @@ def avg_pool3d(
     if stride is None:
         stride = kernel
     nd = x.ndim
+    if (
+        stride == kernel
+        and padding == 0
+        and all(s % kernel == 0 for s in x.shape[-3:])
+    ):
+        # non-overlapping pooling: reshape + reduce is much faster on TPU
+        # than strided slicing (lane-dim strides force relayouts)
+        lead = x.shape[:-3]
+        H, W, D = x.shape[-3:]
+        k = kernel
+        out = x.reshape(lead + (H // k, k, W // k, k, D // k, k)).sum(
+            axis=(nd - 3 + 1, nd - 3 + 3, nd - 3 + 5)
+        )
+        return out / float(k**3)
     out = x
     for ax in (nd - 3, nd - 2, nd - 1):
         out = _reduce_window_sum_axis(out, ax, kernel, stride, padding)

@@ -62,6 +62,11 @@ def _pick_tile_h(feat_shape, disp_hw: int, dtype_bytes: int):
     C, h, w, d = feat_shape
     q = disp_hw
     K = 2 * q + 1
+    # sublane-dim sizes that aren't multiples of 8 fault at runtime in
+    # Mosaic's masked edge handling (observed with 12^3 coarse grids) —
+    # leave those to the XLA path
+    if h % 8 or w % 8:
+        return None
     d_pad = -(-(d + 2 * q) // 128) * 128
     d_lane = -(-d // 128) * 128
     budget = 10 * 1024 * 1024
@@ -136,6 +141,34 @@ def cost_volume_pallas(
     # out[kh, kw, kd] → flat k = kd*K^2 + kw*K + kh
     out = jnp.transpose(out, (2, 1, 0, 3, 4, 5))  # (kd, kw, kh, ...)
     return out.reshape(K**3, h, w, d)
+
+
+# pallas_call with manual DMA doesn't batch under vmap — provide a
+# custom_vmap wrapper that maps the kernel sequentially over the batch
+# (sweep engines vmap the whole pipeline over case pairs; the kernel already
+# saturates the chip per pair, so sequential mapping costs nothing).
+_CVP_CACHE: dict = {}
+
+
+def cost_volume_pallas_batchable(feat_fix, feat_mov, disp_hw: int):
+    if disp_hw not in _CVP_CACHE:
+
+        @jax.custom_batching.custom_vmap
+        def _cvp(fix, mov):
+            return cost_volume_pallas(fix, mov, disp_hw)
+
+        @_cvp.def_vmap
+        def _cvp_vmap(axis_size, in_batched, fix, mov):
+            fix_b, mov_b = in_batched
+            if not fix_b:
+                fix = jnp.broadcast_to(fix, (axis_size,) + fix.shape)
+            if not mov_b:
+                mov = jnp.broadcast_to(mov, (axis_size,) + mov.shape)
+            out = jax.lax.map(lambda fm: _cvp(fm[0], fm[1]), (fix, mov))
+            return out, True
+
+        _CVP_CACHE[disp_hw] = _cvp
+    return _CVP_CACHE[disp_hw](feat_fix, feat_mov)
 
 
 @functools.partial(jax.jit, static_argnames=("disp_hw", "interpret"))

@@ -13,7 +13,7 @@ from convexadam_tpu.ops.cost_volume_pallas import (
 
 
 @pytest.mark.parametrize("q", [1, 2])
-@pytest.mark.parametrize("shape", [(4, 8, 8, 8), (3, 16, 12, 10)])
+@pytest.mark.parametrize("shape", [(4, 8, 8, 8), (3, 16, 24, 10)])
 def test_pallas_cost_volume_matches_xla(rng, q, shape):
     fix = rng.standard_normal(shape).astype(np.float32)
     mov = rng.standard_normal(shape).astype(np.float32)

@@ -105,7 +105,13 @@ def avg_pool3d_replicate(x: jax.Array, kernel: int) -> jax.Array:
 def box_smooth_repeated(x: jax.Array, kernel: int, repeats: int) -> jax.Array:
     """``repeats`` cascaded stride-1 zero-padded box filters (the reference's
     B-spline-like smoother, e.g. triple avg_pool at convex_adam_MIND.py:166,191
-    and double avg_pool in the cost volume, convex_adam_utils.py:85)."""
+    and double avg_pool in the cost volume, convex_adam_utils.py:85).
+
+    NOTE: the cascade does NOT compose into a single correlation — each pass
+    re-pads its (nonzero) border outputs with zeros, so the composed-kernel
+    shortcut diverges in a (repeats * (kernel//2))-thick border shell.
+    Parity requires the literal cascade.
+    """
     pad = kernel // 2
     for _ in range(repeats):
         x = avg_pool3d(x, kernel, stride=1, padding=pad)

@@ -162,3 +162,37 @@ def test_translation_module_recovers_shift(rng):
     translation_xyz, moved, _ = convex_adam_translation(fixed, moving, cfg=cfg)
     # the moved image's origin should be back to ~fixed's (within 1 voxel=1mm)
     np.testing.assert_allclose(moved.origin, (0.0, 0.0, 0.0), atol=1.0)
+
+
+def test_identity_rotated_direction_cancels(rng):
+    """Reference geometry test pattern (tests/test_convex_adam_mind.py:138-189):
+    a moving image that is the fixed image physically rotated via direction
+    cosines AND array-rotated to compensate must resample onto the fixed grid
+    as the original — and register with a near-zero central field."""
+    from scipy.ndimage import uniform_filter
+
+    vol = uniform_filter(rng.standard_normal((40, 40, 40)).astype(np.float32), 2) * 100
+    fixed = MedicalImage(vol, spacing=(1.0, 1.0, 1.0), origin=(0, 0, 0))
+
+    # rotate the array 90° about the z axis: rot[z, y', x'] = vol[z, N-1-x', y']
+    # → voxel (i', j', k') holds the sample at world (j', N-1-i', k'), so the
+    # direction/origin below make index→world land exactly on those points
+    rot_data = np.rot90(vol, k=1, axes=(2, 1)).copy()  # (z, y, x) array
+    moving = MedicalImage(
+        rot_data,
+        spacing=(1.0, 1.0, 1.0),
+        origin=(0.0, 39.0, 0.0),
+        direction=(0, 1, 0, -1, 0, 0, 0, 0, 1),
+    )
+    back = resample_moving_to_fixed(fixed, moving)
+    # interior must reproduce the original (border voxel may hit padding)
+    np.testing.assert_allclose(
+        back.data[2:-2, 2:-2, 2:-2], vol[2:-2, 2:-2, 2:-2], atol=1e-3
+    )
+
+    from convexadam_tpu.pipeline.convex_adam import ConvexAdamConfig, convex_adam
+
+    cfg = ConvexAdamConfig(grid_sp=4, disp_hw=2, selected_niter=80, grid_sp_adam=2)
+    disp = convex_adam(fixed.data, back.data, cfg)
+    c = 10
+    assert np.abs(disp[c:-c, c:-c, c:-c]).max() < 0.3  # reference atol 0.3

@@ -184,7 +184,8 @@ def run_validation_grid(
                 key0 = f"MIND;{grid_sp};{disp_hw};{lam}"
                 per_variant = {
                     f"{key0};{it};{sm}": {"dice": [], "dice30": [], "hd95": [],
-                                          "sdlogj": [], "time": []}
+                                          "sdlogj": [], "time": [],
+                                          "tre": [], "tre30": []}
                     for it in iters for sm in smoothings
                 }
                 cfg = ConvexAdamConfig(
@@ -196,6 +197,16 @@ def run_validation_grid(
                     fixed, affine = load_volume_nib_order(
                         task.task_dir / pair["fixed"]
                     )
+                    kf = km = None
+                    kf_path = task.task_dir / pair["fixed"].replace(
+                        "images", "keypoints"
+                    ).replace(".nii.gz", ".csv")
+                    km_path = task.task_dir / pair["moving"].replace(
+                        "images", "keypoints"
+                    ).replace(".nii.gz", ".csv")
+                    if kf_path.exists() and km_path.exists():
+                        kf = np.loadtxt(kf_path, delimiter=",").reshape(-1, 3)
+                        km = np.loadtxt(km_path, delimiter=",").reshape(-1, 3)
                     moving, _ = load_volume_nib_order(task.task_dir / pair["moving"])
                     fixed = np.asarray(fixed, np.float32)
                     moving = np.asarray(moving, np.float32)
@@ -237,13 +248,17 @@ def run_validation_grid(
                         for b, sm in enumerate(smoothings):
                             vkey = f"{key0};{it};{sm}"
                             m = evaluate_field(
-                                fields[a, b], seg_f, seg_m, num_labels
+                                fields[a, b], seg_f, seg_m, num_labels,
+                                kpts_fixed=kf, kpts_moving=km,
                             )
                             r = per_variant[vkey]
                             if "dice" in m:
                                 r["dice"].append(m["dice"])
                                 r["dice30"].append(m["dice30"])
                                 r["hd95"].append(m["hd95"])
+                            if "tre" in m:
+                                r["tre"].append(m["tre"])
+                                r["tre30"].append(m["tre30"])
                             r["sdlogj"].append(m["sdlogj"])
                             r["time"].append(case_time)
                             # persist the field like the reference runners
@@ -267,11 +282,16 @@ def run_validation_grid(
 
 def select_winner(results: dict, repeats: int = 50) -> tuple[str, np.ndarray]:
     """Official-style winner selection over variant results
-    (l2r3.py:298-361): noisy Wilcoxon ranks of {dice mean, dice30, sdlogj,
-    time}, geometric mean double-weighting dice."""
+    (l2r3.py:298-361): noisy Wilcoxon ranks of {similarity mean, robust30,
+    sdlogj, time}, geometric mean double-weighting the similarity metric.
+    The similarity is Dice when labels exist, else negated keypoint TRE."""
     keys = list(results.keys())
-    dice = np.stack([results[k]["dice"].mean(axis=1) for k in keys])
-    dice30 = np.stack([results[k]["dice30"] for k in keys])
+    if "dice" in results[keys[0]] and len(results[keys[0]].get("dice", [])):
+        dice = np.stack([results[k]["dice"].mean(axis=1) for k in keys])
+        dice30 = np.stack([results[k]["dice30"] for k in keys])
+    else:
+        dice = -np.stack([results[k]["tre"].mean(axis=1) for k in keys])
+        dice30 = -np.stack([results[k]["tre30"] for k in keys])
     sdlogj = np.stack([results[k]["sdlogj"] for k in keys])
     times = np.stack(
         [np.broadcast_to(results[k]["median_case_time"], dice.shape[1]) for k in keys]

@@ -111,3 +111,30 @@ def test_validation_grid_and_winner_and_testset(task_dir, tmp_path):
         np.asarray(dice_coeff(jnp.asarray(seg_f), jnp.asarray(seg_m), 3)).mean()
     )
     assert results[winner]["dice"].mean() > d_ident
+
+
+def test_select_winner_tre_only():
+    """Winner selection must work for keypoint-TRE tasks (no labels)."""
+    rng = np.random.default_rng(0)
+    results = {}
+    for i, k in enumerate(["a", "b", "c"]):
+        results[k] = {
+            "tre": rng.random((4, 10)) + (2 - i),  # c has smallest TRE
+            "tre30": rng.random(4) + (2 - i),
+            "sdlogj": rng.random(4) * 0.1,
+            "median_case_time": 1.0,
+        }
+    winner, agg = select_winner(results, repeats=5)
+    assert winner == "c"
+
+
+def test_evaluate_field_with_keypoints():
+    from convexadam_tpu.selfconfig.l2r import evaluate_field
+
+    disp = np.zeros((20, 20, 20, 3), np.float32)
+    disp[..., 0] = 2.0
+    kf = np.array([[5.0, 5.0, 5.0], [10.0, 8.0, 6.0]], np.float32)
+    km = kf + np.array([2.0, 0.0, 0.0], np.float32)
+    m = evaluate_field(disp, kpts_fixed=kf, kpts_moving=km)
+    np.testing.assert_allclose(m["tre"], 0.0, atol=1e-4)
+    assert "sdlogj" in m

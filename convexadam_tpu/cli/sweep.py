@@ -44,6 +44,14 @@ def main(argv=None):
     parser.add_argument("--adam_s1", type=int, default=None)
     parser.add_argument("--adam_s2", type=int, default=None)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument(
+        "--mesh", action="store_true",
+        help="fan the sweep out over all devices on a (setting, pair) mesh",
+    )
+    parser.add_argument(
+        "--setting_batch", type=int, default=None,
+        help="settings per vmapped batch (default: #setting-shards)",
+    )
     args = parser.parse_args(argv)
 
     with open(args.configfile) as f:
@@ -61,11 +69,18 @@ def main(argv=None):
     pairs = [tuple(p) for p in config["topk_pair"]]
     preds, segs = _load_data(config)
 
+    mesh = None
+    if args.mesh:
+        from convexadam_tpu.parallel.batch import make_sweep_mesh
+
+        mesh = make_sweep_mesh()
+
     if args.stage == "convex":
         settings = stage1_settings()
         res = run_stage1_sweep(
             preds, segs, pairs, settings, num_labels, verbose=args.verbose,
             checkpoint_path=config["output"],
+            mesh=mesh, setting_batch=args.setting_batch,
         )
         np.savez(
             config["output"],
@@ -87,6 +102,7 @@ def main(argv=None):
             preds, segs, pairs, convex, adam_settings, num_labels,
             verbose=args.verbose,
             checkpoint_path=config.get("output_adam", config["output"]),
+            mesh=mesh, setting_batch=args.setting_batch,
         )
         np.savez(
             config.get("output_adam", config["output"]),

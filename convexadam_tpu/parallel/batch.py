@@ -39,6 +39,34 @@ def make_mesh(
     return Mesh(grid, ("pair", "space"))
 
 
+def make_sweep_mesh(
+    n_setting: Optional[int] = None,
+    n_pair: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """Create a (setting, pair) mesh for self-configuring sweep fan-out.
+
+    This is the TPU-native replacement for the reference's process-per-GPU
+    sweep parallelism (`CUDA_VISIBLE_DEVICES=argv[1]`,
+    convex_run_withconfig.py:42-43): hyperparameter settings shard over the
+    ``setting`` axis and case pairs over the ``pair`` axis of one SPMD
+    program, with metric reductions staying on-device.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_setting is None and n_pair is None:
+        n_setting = 2 if (n % 2 == 0 and n > 1) else 1
+    if n_pair is None:
+        n_pair = n // n_setting
+    if n_setting is None:
+        n_setting = n // n_pair
+    grid = mesh_utils.create_device_mesh(
+        (n_setting, n_pair), devices=devices[: n_setting * n_pair]
+    )
+    return Mesh(grid, ("setting", "pair"))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def register_pairs_batched(
     fixed: jax.Array, moving: jax.Array, cfg: ConvexAdamConfig

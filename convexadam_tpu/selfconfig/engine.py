@@ -3,11 +3,13 @@
 Reference workloads (SURVEY.md §3.4): stage-1 sweeps 100 convex settings x N
 case pairs (convex_run_withconfig.py), stage-2 sweeps 75 Adam settings x N
 pairs x 16 evaluation variants (adam_run_withconfig_shiftSpline.py), each as
-a sequential process-per-GPU Python loop.  Here every (setting) iterates a
-single jitted function **vmapped over the case pairs**; one compilation is
-reused across all settings that share tensor shapes (same grid_sp/disp_hw),
-and the pair axis can be sharded over a TPU mesh (see parallel/batch.py) —
-the whole search becomes minutes of device time instead of an hour.
+a sequential process-per-GPU Python loop.  Here every setting batch runs one
+jitted function **vmapped over (settings x case pairs)**; one compilation is
+reused across all settings that share tensor shapes (same grid_sp/disp_hw —
+the remaining hyperparameter is a traced scalar), and with a
+``parallel.batch.make_sweep_mesh()`` mesh the settings axis shards over the
+``setting`` mesh axis and the pair axis over the ``pair`` axis — the whole
+search becomes one SPMD program spanning the slice instead of N processes.
 
 HD95 runs on host (EDT), matching the reference's cupy round-trip.
 """
@@ -22,6 +24,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from convexadam_tpu.core.adam import adam_instance_optimisation
 from convexadam_tpu.core.convex import coupled_convex
@@ -146,6 +149,56 @@ def evaluate_field_semantic(
 
 
 # ---------------------------------------------------------------------------
+# mesh fan-out helpers
+# ---------------------------------------------------------------------------
+
+def _mesh_factors(mesh: Optional[Mesh]) -> tuple[int, int]:
+    """(n_setting_shards, n_pair_shards) of a sweep mesh; (1, 1) if None."""
+    if mesh is None:
+        return 1, 1
+    ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return ax.get("setting", 1), ax.get("pair", 1)
+
+
+def _sweep_specs(mesh: Optional[Mesh]):
+    """(pair-sharded, setting-sharded, replicated, (setting,pair)-out)
+    NamedShardings for a sweep mesh (None mesh → all None)."""
+    if mesh is None:
+        return None, None, None, None
+    names = mesh.axis_names
+    set_ax = "setting" if "setting" in names else None
+    pair_ax = "pair" if "pair" in names else None
+    return (
+        NamedSharding(mesh, PartitionSpec(pair_ax)),
+        NamedSharding(mesh, PartitionSpec(set_ax)),
+        NamedSharding(mesh, PartitionSpec()),
+        NamedSharding(mesh, PartitionSpec(set_ax, pair_ax)),
+    )
+
+
+def _pad_axis0(arr: np.ndarray, n: int) -> np.ndarray:
+    """Pad axis 0 up to length ``n`` by repeating the last entry (padded
+    results are computed redundantly and discarded on the host)."""
+    if len(arr) >= n:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], n - len(arr), axis=0)])
+
+
+def _chunked_setting_groups(settings, key_fn, chunk: int):
+    """Group setting indices by their static-shape key (one XLA compilation
+    per key), then split each group into ``chunk``-sized slices that run as
+    one vmapped-settings batch."""
+    groups: dict = {}
+    for idx, st in enumerate(settings):
+        groups.setdefault(key_fn(st), []).append(idx)
+    out = []
+    for key, idxs in groups.items():
+        for i in range(0, len(idxs), chunk):
+            out.append((key, idxs[i: i + chunk]))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # stage 1
 # ---------------------------------------------------------------------------
 
@@ -182,24 +235,44 @@ def run_stage1_sweep(
     compute_hd95: bool = True,
     verbose: bool = False,
     checkpoint_path=None,
+    mesh: Optional[Mesh] = None,
+    setting_batch: Optional[int] = None,
 ) -> SweepResult:
     """Stage-1 semantic sweep (convex_run_withconfig.py:78-172).
 
     With ``checkpoint_path`` the partial metric arrays are saved after every
-    setting (the reference's torch.save checkpointing,
-    convex_run_withconfig.py:156 — a crashed sweep loses at most one setting).
+    setting batch (the reference's torch.save checkpointing,
+    convex_run_withconfig.py:156 — a crashed sweep loses at most one batch).
+
+    With ``mesh`` (a (setting, pair) mesh from
+    ``parallel.batch.make_sweep_mesh``) the sweep fans out across devices:
+    settings sharing an XLA shape key (grid_sp, disp_hw) are batched
+    ``setting_batch`` at a time over the ``setting`` mesh axis (nn_mult is a
+    traced scalar, so one compilation serves the whole batch) and case pairs
+    shard over the ``pair`` axis — the TPU-native replacement for the
+    reference's process-per-GPU fan-out (convex_run_withconfig.py:42-43).
+    Both axes are padded to shard evenly; padded work is discarded on host.
 
     ``preds``/``segs``: (K, H, W, D) integer label volumes (predictions and
     ground truth); ``pairs``: (fixed_idx, moving_idx) tuples; metrics are
     rank-aggregated over {dice, robust30 dice, HD95, SDlogJ}.
     """
     pairs = list(pairs)
+    P = len(pairs)
     robust30 = _robust30_label_sets(segs, pairs, num_labels)
-    preds_j = jnp.asarray(preds, jnp.int32)
-    segs_j = jnp.asarray(segs, jnp.int32)
+    preds_np = np.asarray(preds, np.int32)
+    segs_np = np.asarray(segs, np.int32)
+
+    n_set_shards, n_pair_shards = _mesh_factors(mesh)
+    if setting_batch is None:
+        setting_batch = max(1, n_set_shards)
+    pair_sh, set_sh, _, out_sh = _sweep_specs(mesh)
 
     fi = np.array([p[0] for p in pairs])
     mi = np.array([p[1] for p in pairs])
+    P_pad = -(-P // n_pair_shards) * n_pair_shards
+    fi_p = _pad_axis0(fi, P_pad)
+    mi_p = _pad_axis0(mi, P_pad)
 
     S = len(settings)
     dice = np.zeros((S, 2))
@@ -207,52 +280,76 @@ def run_stage1_sweep(
     hd = np.zeros(S)
     times = np.zeros(S)
 
-    def pair_fn(pf, pm, sf, sm, nn_mult, grid_sp, disp_hw):
-        disp_hr = convex_field_semantic(
-            pf, pm, nn_mult, num_labels=num_labels + 1,
-            grid_sp=grid_sp, disp_hw=disp_hw,
-        )
-        return evaluate_field_semantic(disp_hr, sf, sm, num_labels)
-
-    batched = {}  # (grid_sp, disp_hw) → compiled vmapped fn
-
-    for s, st in enumerate(settings):
-        key = (st.grid_sp, st.disp_hw)
-        if key not in batched:
-            batched[key] = jax.jit(
-                jax.vmap(
-                    lambda pf, pm, sf, sm, mult, _g=st.grid_sp, _q=st.disp_hw: pair_fn(
-                        pf, pm, sf, sm, mult, _g, _q
-                    ),
-                    in_axes=(0, 0, 0, 0, None),
-                )
+    def make_fn(grid_sp: int, disp_hw: int):
+        def pair_fn(pf, pm, sf, sm, nn_mult):
+            disp_hr = convex_field_semantic(
+                pf, pm, nn_mult, num_labels=num_labels + 1,
+                grid_sp=grid_sp, disp_hw=disp_hw,
             )
+            d, js, nf, sw = evaluate_field_semantic(disp_hr, sf, sm, num_labels)
+            if compute_hd95:
+                return d, js, nf, sw
+            return d, js, nf  # unused warped seg is DCE'd — saves HBM
+        f = jax.vmap(pair_fn, in_axes=(0, 0, 0, 0, None))       # pairs
+        f = jax.vmap(f, in_axes=(None, None, None, None, 0))    # settings
+        if mesh is None:
+            return jax.jit(f)
+        n_out = 4 if compute_hd95 else 3
+        return jax.jit(
+            f,
+            in_shardings=(pair_sh, pair_sh, pair_sh, pair_sh, set_sh),
+            out_shardings=(out_sh,) * n_out,
+        )
+
+    compiled = {}  # (grid_sp, disp_hw) → compiled fn
+    done = 0
+    chunks = _chunked_setting_groups(
+        settings, lambda st: (st.grid_sp, st.disp_hw), setting_batch
+    )
+    for key, idxs in chunks:
+        if key not in compiled:
+            compiled[key] = make_fn(*key)
+        mults = _pad_axis0(
+            np.array([settings[i].nn_mult for i in idxs], np.float32),
+            setting_batch,
+        )
         t0 = time.time()
-        d, js, nf, seg_warped = batched[key](
-            preds_j[fi], preds_j[mi], segs_j[fi], segs_j[mi],
-            jnp.float32(st.nn_mult),
+        out = compiled[key](
+            preds_np[fi_p], preds_np[mi_p], segs_np[fi_p], segs_np[mi_p],
+            mults,
         )
-        d = np.asarray(d)  # (P, L)
-        dice[s, 0] = d.mean()
-        dice[s, 1] = np.mean([d[i, robust30[i]].mean() for i in range(len(pairs))])
-        jstd[s, 0] = np.asarray(js).mean()
-        jstd[s, 1] = np.asarray(nf).mean()
         if compute_hd95:
-            sw = np.asarray(seg_warped)
-            hd[s] = np.mean(
-                [
-                    hd95(np.asarray(segs[fi[i]]), sw[i].round().astype(np.int32), num_labels).mean()
-                    for i in range(len(pairs))
-                ]
-            )
-        times[s] = time.time() - t0
+            d, js, nf, seg_warped = out
+            sw = np.asarray(seg_warped)[:, :P]
+        else:
+            d, js, nf = out
+            sw = None
+        d = np.asarray(d)[:, :P]  # (G, P, L), padding dropped
+        js = np.asarray(js)[:, :P]
+        nf = np.asarray(nf)[:, :P]
+        dt = (time.time() - t0) / len(idxs)
+        for g, s in enumerate(idxs):
+            st = settings[s]
+            dice[s, 0] = d[g].mean()
+            dice[s, 1] = np.mean([d[g, i, robust30[i]].mean() for i in range(P)])
+            jstd[s, 0] = js[g].mean()
+            jstd[s, 1] = nf[g].mean()
+            if compute_hd95:
+                hd[s] = np.mean(
+                    [
+                        hd95(segs_np[fi[i]], sw[g, i].round().astype(np.int32), num_labels).mean()
+                        for i in range(P)
+                    ]
+                )
+            times[s] = dt
+            if verbose:
+                print(
+                    f"s={s} {st} dice={dice[s,0]:.4f}/{dice[s,1]:.4f} "
+                    f"jstd={jstd[s,0]:.4f} hd95={hd[s]:.3f} t={times[s]:.2f}s"
+                )
+        done += len(idxs)
         if checkpoint_path is not None:
-            np.savez(checkpoint_path, dice=dice, jstd=jstd, hd95=hd, times=times, done=s)
-        if verbose:
-            print(
-                f"s={s} {st} dice={dice[s,0]:.4f}/{dice[s,1]:.4f} "
-                f"jstd={jstd[s,0]:.4f} hd95={hd[s]:.3f} t={times[s]:.2f}s"
-            )
+            np.savez(checkpoint_path, dice=dice, jstd=jstd, hd95=hd, times=times, done=done - 1)
 
     # sort_rank gives rank 1.0 to the SMALLEST value → negate
     # higher-is-better metrics (convex_run_withconfig.py:162-169).  HD95 only
@@ -353,29 +450,55 @@ def run_stage2_sweep(
     compute_hd95: bool = False,
     verbose: bool = False,
     checkpoint_path=None,
+    mesh: Optional[Mesh] = None,
+    setting_batch: Optional[int] = None,
 ) -> SweepResult:
     """Stage-2 semantic sweep: cache best-convex fields (pass A), then sweep
     Adam settings x 16 evaluation variants (pass B), rank over the flattened
-    S x 16 grid (adam_run_withconfig_shiftSpline.py:43-307)."""
+    S x 16 grid (adam_run_withconfig_shiftSpline.py:43-307).
+
+    Like :func:`run_stage1_sweep`, a (setting, pair) ``mesh`` fans the sweep
+    out across devices: settings sharing the (grid_sp_adam, avg_n) shape key
+    batch over the ``setting`` axis (lambda_weight is traced) and pairs shard
+    over the ``pair`` axis.
+    """
     pairs = list(pairs)
+    P = len(pairs)
     robust30 = _robust30_label_sets(segs, pairs, num_labels)
-    preds_j = jnp.asarray(preds, jnp.int32)
-    segs_j = jnp.asarray(segs, jnp.int32)
+    preds_np = np.asarray(preds, np.int32)
+    segs_np = np.asarray(segs, np.int32)
     fi = np.array([p[0] for p in pairs])
     mi = np.array([p[1] for p in pairs])
 
-    # pass A: cached coarse convex fields
-    coarse_fn = jax.jit(
-        jax.vmap(
-            lambda pf, pm, mult: convex_field_semantic(
-                pf, pm, mult, num_labels=num_labels + 1,
-                grid_sp=convex_setting.grid_sp, disp_hw=convex_setting.disp_hw,
-                coarse=True,
-            ),
-            in_axes=(0, 0, None),
-        )
+    n_set_shards, n_pair_shards = _mesh_factors(mesh)
+    if setting_batch is None:
+        setting_batch = max(1, n_set_shards)
+    pair_sh, set_sh, rep_sh, out_sh = _sweep_specs(mesh)
+
+    P_pad = -(-P // n_pair_shards) * n_pair_shards
+    fi_p = _pad_axis0(fi, P_pad)
+    mi_p = _pad_axis0(mi, P_pad)
+
+    # pass A: cached coarse convex fields (pair axis sharded when meshed)
+    coarse_f = jax.vmap(
+        lambda pf, pm, mult: convex_field_semantic(
+            pf, pm, mult, num_labels=num_labels + 1,
+            grid_sp=convex_setting.grid_sp, disp_hw=convex_setting.disp_hw,
+            coarse=True,
+        ),
+        in_axes=(0, 0, None),
     )
-    disps_lr = coarse_fn(preds_j[fi], preds_j[mi], jnp.float32(convex_setting.nn_mult))
+    if mesh is None:
+        coarse_fn = jax.jit(coarse_f)
+    else:
+        coarse_fn = jax.jit(
+            coarse_f,
+            in_shardings=(pair_sh, pair_sh, rep_sh),
+            out_shardings=pair_sh,
+        )
+    disps_lr = coarse_fn(
+        preds_np[fi_p], preds_np[mi_p], jnp.float32(convex_setting.nn_mult)
+    )
 
     S = len(adam_settings)
     dice = np.zeros((S, 4, 4, 2))
@@ -383,53 +506,87 @@ def run_stage2_sweep(
     hd = np.zeros((S, 4, 4))
     times = np.zeros(S)
 
-    batched = {}
-    for s, st in enumerate(adam_settings):
+    def make_fn(grid_sp_adam: int, avg_n: int):
+        def pair_fn(pf, pm, sf, sm, dl, mult, lw):
+            dice_g, js_g, nf_g, sw_g = _stage2_pair(
+                pf, pm, sf, sm, dl, mult, lw,
+                grid_sp_adam=grid_sp_adam, avg_n=avg_n, num_labels=num_labels,
+            )
+            if compute_hd95:
+                return dice_g, js_g, nf_g, sw_g
+            return dice_g, js_g, nf_g  # warped segs DCE'd — saves HBM
+        f = jax.vmap(pair_fn, in_axes=(0, 0, 0, 0, 0, None, None))  # pairs
+        f = jax.vmap(                                               # settings
+            f, in_axes=(None, None, None, None, None, None, 0)
+        )
+        if mesh is None:
+            return jax.jit(f)
+        n_out = 4 if compute_hd95 else 3
+        return jax.jit(
+            f,
+            in_shardings=(pair_sh, pair_sh, pair_sh, pair_sh, pair_sh, rep_sh, set_sh),
+            out_shardings=(out_sh,) * n_out,
+        )
+
+    compiled = {}
+    done = 0
+    chunks = _chunked_setting_groups(
+        adam_settings,
+        lambda st: (st.grid_sp_adam, st.effective_avg_n),
+        setting_batch,
+    )
+    for key, idxs in chunks:
+        if key not in compiled:
+            compiled[key] = make_fn(*key)
+        lws = _pad_axis0(
+            np.array([adam_settings[i].lambda_weight for i in idxs], np.float32),
+            setting_batch,
+        )
         t0 = time.time()
-        key = (st.grid_sp_adam, st.effective_avg_n)
-        if key not in batched:
-            batched[key] = jax.jit(
-                jax.vmap(
-                    lambda pf, pm, sf, sm, dl, mult, lw, _g=st.grid_sp_adam, _a=st.effective_avg_n: _stage2_pair(
-                        pf, pm, sf, sm, dl, mult, lw,
-                        grid_sp_adam=_g, avg_n=_a, num_labels=num_labels,
-                    ),
-                    in_axes=(0, 0, 0, 0, 0, None, None),
-                )
-            )
-        dice_g, js_g, nf_g, sw_g = batched[key](
-            preds_j[fi], preds_j[mi], segs_j[fi], segs_j[mi], disps_lr,
-            jnp.float32(convex_setting.nn_mult), jnp.float32(st.lambda_weight),
+        out = compiled[key](
+            preds_np[fi_p], preds_np[mi_p], segs_np[fi_p], segs_np[mi_p],
+            disps_lr, jnp.float32(convex_setting.nn_mult), lws,
         )
-        dg = np.asarray(dice_g)  # (P, 4, 4, L)
-        dice[s, :, :, 0] = dg.mean(axis=(0, 3))
-        dice[s, :, :, 1] = np.mean(
-            [dg[i][:, :, robust30[i]].mean(-1) for i in range(len(pairs))], axis=0
-        )
-        jstd[s, :, :, 0] = np.asarray(js_g).mean(0)
-        jstd[s, :, :, 1] = np.asarray(nf_g).mean(0)
         if compute_hd95:
-            sw = np.asarray(sw_g)  # (P, 4, 4, H, W, D)
-            for ii in range(4):
-                for kk in range(4):
-                    hd[s, ii, kk] = np.mean(
-                        [
-                            hd95(
-                                np.asarray(segs[fi[i]]),
-                                sw[i, ii, kk].round().astype(np.int32),
-                                num_labels,
-                            ).mean()
-                            for i in range(len(pairs))
-                        ]
-                    )
-        times[s] = time.time() - t0
-        if checkpoint_path is not None:
-            np.savez(checkpoint_path, dice=dice, jstd=jstd, hd95=hd, times=times, done=s)
-        if verbose:
-            print(
-                f"s={s} {st} best dice={dice[s,...,0].max():.4f} "
-                f"t={times[s]:.2f}s"
+            dice_g, js_g, nf_g, sw_g = out
+            sw = np.asarray(sw_g)[:, :P]  # (G, P, 4, 4, H, W, D)
+        else:
+            dice_g, js_g, nf_g = out
+            sw = None
+        dg = np.asarray(dice_g)[:, :P]  # (G, P, 4, 4, L)
+        jg = np.asarray(js_g)[:, :P]
+        ng = np.asarray(nf_g)[:, :P]
+        dt = (time.time() - t0) / len(idxs)
+        for g, s in enumerate(idxs):
+            st = adam_settings[s]
+            dice[s, :, :, 0] = dg[g].mean(axis=(0, 3))
+            dice[s, :, :, 1] = np.mean(
+                [dg[g, i][:, :, robust30[i]].mean(-1) for i in range(P)], axis=0
             )
+            jstd[s, :, :, 0] = jg[g].mean(0)
+            jstd[s, :, :, 1] = ng[g].mean(0)
+            if compute_hd95:
+                for ii in range(4):
+                    for kk in range(4):
+                        hd[s, ii, kk] = np.mean(
+                            [
+                                hd95(
+                                    segs_np[fi[i]],
+                                    sw[g, i, ii, kk].round().astype(np.int32),
+                                    num_labels,
+                                ).mean()
+                                for i in range(P)
+                            ]
+                        )
+            times[s] = dt
+            if verbose:
+                print(
+                    f"s={s} {st} best dice={dice[s,...,0].max():.4f} "
+                    f"t={times[s]:.2f}s"
+                )
+        done += len(idxs)
+        if checkpoint_path is not None:
+            np.savez(checkpoint_path, dice=dice, jstd=jstd, hd95=hd, times=times, done=done - 1)
 
     flat_dice = dice[..., 0].reshape(-1)
     flat_drob = dice[..., 1].reshape(-1)

@@ -112,6 +112,56 @@ def test_stage2_sweep_end_to_end():
     assert np.isfinite(res.dice).all()
 
 
+def test_sweep_sharded_over_mesh_matches_single_device():
+    """The headline TPU-native claim: the sweep fans out over a
+    (setting, pair) mesh (settings batched via the traced hyperparameter,
+    pairs sharded) and produces the same metrics as the single-device run.
+
+    Runs on the 8 virtual CPU devices (conftest). Pads both axes (3 pairs
+    over 4 pair-shards, 3 settings in batches of 2), so the
+    padding-discard path is covered too."""
+    import jax
+
+    from convexadam_tpu.parallel.batch import make_sweep_mesh
+
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    mesh = make_sweep_mesh(n_setting=2, n_pair=4)
+
+    preds, segs = _synthetic_dataset(K=4)
+    pairs = [(0, 1), (1, 2), (2, 3)]  # 3 pairs → padded to 4 shards
+    settings = [
+        Stage1Setting(nn_mult=10, grid_sp=3, disp_hw=2),
+        Stage1Setting(nn_mult=5, grid_sp=3, disp_hw=2),   # same shape key
+        Stage1Setting(nn_mult=10, grid_sp=4, disp_hw=3),  # different key
+    ]
+    ref = run_stage1_sweep(preds, segs, pairs, settings, num_labels=2)
+    got = run_stage1_sweep(
+        preds, segs, pairs, settings, num_labels=2, mesh=mesh, setting_batch=2
+    )
+    np.testing.assert_allclose(got.dice, ref.dice, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got.jstd, ref.jstd, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got.hd95, ref.hd95, rtol=0, atol=1e-6)
+    assert got.best == ref.best
+
+    # stage 2 through the same mesh
+    adam_settings = [
+        Stage2Setting(grid_sp_adam=2, avg_n=1, lambda_weight=1.0),
+        Stage2Setting(grid_sp_adam=2, avg_n=1, lambda_weight=0.6),  # same key
+        Stage2Setting(grid_sp_adam=3, avg_n=2, lambda_weight=0.8),
+    ]
+    convex = settings[ref.best]
+    ref2 = run_stage2_sweep(
+        preds, segs, pairs, convex, adam_settings, num_labels=2
+    )
+    got2 = run_stage2_sweep(
+        preds, segs, pairs, convex, adam_settings, num_labels=2,
+        mesh=mesh, setting_batch=2,
+    )
+    np.testing.assert_allclose(got2.dice, ref2.dice, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(got2.jstd, ref2.jstd, rtol=0, atol=1e-5)
+    assert got2.best == ref2.best
+
+
 def test_stage2_rank_invariant_to_setting_order_without_hd95():
     """With compute_hd95=False the HD95 placeholder must NOT enter the rank
     aggregation: the winner has to be the same setting regardless of setting

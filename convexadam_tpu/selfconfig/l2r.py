@@ -19,7 +19,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from convexadam_tpu.core.features import mindssc
+from convexadam_tpu.core.features import mindssc, semantic_features
 from convexadam_tpu.core.metrics import (
     dice_coeff,
     hd95,
@@ -156,6 +156,82 @@ def evaluate_field(
     return out
 
 
+def _load_case(task: L2RTask, pair: dict):
+    """Load one registration case: images + affine, optional keypoints, masks
+    (applied as infill), GT labels, and predicted labels (the nnU-Net arm's
+    inputs, main_for_l2r3_nnUNet.py:76-80 — ``images → predictedlabels`` path
+    substitution; falls back to GT ``labels`` when no predictions exist)."""
+    fixed, affine = load_volume_nib_order(task.task_dir / pair["fixed"])
+    moving, _ = load_volume_nib_order(task.task_dir / pair["moving"])
+    fixed = np.asarray(fixed, np.float32)
+    moving = np.asarray(moving, np.float32)
+
+    kf = km = None
+    kf_path = task.task_dir / pair["fixed"].replace(
+        "images", "keypoints"
+    ).replace(".nii.gz", ".csv")
+    km_path = task.task_dir / pair["moving"].replace(
+        "images", "keypoints"
+    ).replace(".nii.gz", ".csv")
+    if kf_path.exists() and km_path.exists():
+        kf = np.loadtxt(kf_path, delimiter=",").reshape(-1, 3)
+        km = np.loadtxt(km_path, delimiter=",").reshape(-1, 3)
+
+    if task.use_mask:
+        mf, _ = load_volume_nib_order(
+            task.task_dir / pair["fixed"].replace("images", "masks")
+        )
+        mm, _ = load_volume_nib_order(
+            task.task_dir / pair["moving"].replace("images", "masks")
+        )
+        fixed = mask_infill(fixed, np.asarray(mf, np.float32))
+        moving = mask_infill(moving, np.asarray(mm, np.float32))
+
+    seg_f = seg_m = None
+    num_labels = 0
+    lf = task.task_dir / pair["fixed"].replace("images", "labels")
+    lm = task.task_dir / pair["moving"].replace("images", "labels")
+    if lf.exists() and lm.exists():
+        seg_f = np.asarray(load_volume_nib_order(lf)[0], np.int32)
+        seg_m = np.asarray(load_volume_nib_order(lm)[0], np.int32)
+        num_labels = int(max(seg_f.max(), seg_m.max()))
+
+    pred_f = pred_m = None
+    pf_path = task.task_dir / pair["fixed"].replace("images", "predictedlabels")
+    pm_path = task.task_dir / pair["moving"].replace("images", "predictedlabels")
+    if pf_path.exists() and pm_path.exists():
+        pred_f = np.asarray(load_volume_nib_order(pf_path)[0], np.int32)
+        pred_m = np.asarray(load_volume_nib_order(pm_path)[0], np.int32)
+    elif seg_f is not None:
+        pred_f, pred_m = seg_f, seg_m
+
+    return dict(
+        fixed=fixed, moving=moving, affine=affine,
+        kf=kf, km=km, seg_f=seg_f, seg_m=seg_m, num_labels=num_labels,
+        pred_f=pred_f, pred_m=pred_m,
+    )
+
+
+def _arm_features(arm: str, case: dict, mind_r: int, mind_d: int, dtype):
+    """Features for one grid-ablation arm: MIND-SSC descriptors or weighted
+    one-hot semantic features of the predicted labels
+    (main_for_l2r3_nnUNet.py:91-100 → convex_adam_nnUNet.py:19-38)."""
+    if arm == "MIND":
+        ff = mindssc(jnp.asarray(case["fixed"]), mind_r, mind_d).astype(dtype)
+        fm = mindssc(jnp.asarray(case["moving"]), mind_r, mind_d).astype(dtype)
+        return ff, fm
+    if case["pred_f"] is None:
+        raise FileNotFoundError(
+            "nnUNet arm needs predicted labels (predictedlabels dir) or GT "
+            "labels for this pair"
+        )
+    nl = int(max(case["pred_f"].max(), case["pred_m"].max())) + 1
+    return semantic_features(
+        jnp.asarray(case["pred_f"]), jnp.asarray(case["pred_m"]),
+        num_labels=nl, mult=10.0, dtype=dtype,
+    )
+
+
 def run_validation_grid(
     task: L2RTask,
     output_dir,
@@ -166,8 +242,14 @@ def run_validation_grid(
     grid_override: Optional[tuple[list, list, list]] = None,
 ) -> dict:
     """Run the l2r3 grid ablation over the validation pairs: for every
-    (grid_sp, disp_hw, lambda) x 9 output variants, save fields and collect
-    per-case metrics (l2r3.py:106-221 + main_for_l2r3_MIND.py:15-175).
+    (grid_sp, disp_hw, lambda) x {MIND, nnUNet} x 9 output variants, save
+    fields and collect per-case metrics (l2r3.py:106-221 +
+    main_for_l2r3_{MIND,nnUNet}.py).
+
+    The nnUNet arm runs when the task provides labels (l2r3.py:166),
+    registering weighted one-hot features of the predicted segmentations
+    (``predictedlabels`` dir, falling back to GT labels); masks are not used
+    in that arm (l2r3.py:165 forces use_mask=False).
 
     Returns {variant_key: {"dice": (cases, L), "sdlogj": (cases,), ...,
     "median_case_time": float}}.
@@ -176,107 +258,70 @@ def run_validation_grid(
     output_dir.mkdir(parents=True, exist_ok=True)
     mind_r, mind_d = task.mind_params
     grid_sps, disp_hws, lambdas = grid_override or task.grid_options
+    arms = ["MIND"] + (["nnUNet"] if task.semantic_features else [])
 
     results: dict = {}
     for grid_sp in grid_sps:
         for disp_hw in disp_hws:
             for lam in lambdas:
-                key0 = f"MIND;{grid_sp};{disp_hw};{lam}"
-                per_variant = {
-                    f"{key0};{it};{sm}": {"dice": [], "dice30": [], "hd95": [],
-                                          "sdlogj": [], "time": [],
-                                          "tre": [], "tre30": []}
-                    for it in iters for sm in smoothings
-                }
-                cfg = ConvexAdamConfig(
-                    mind_r=mind_r, mind_d=mind_d, lambda_weight=lam,
-                    grid_sp=grid_sp, disp_hw=disp_hw, dtype=dtype,
-                )
-                for pair in task.registration_val:
-                    t0 = time.time()
-                    fixed, affine = load_volume_nib_order(
-                        task.task_dir / pair["fixed"]
-                    )
-                    kf = km = None
-                    kf_path = task.task_dir / pair["fixed"].replace(
-                        "images", "keypoints"
-                    ).replace(".nii.gz", ".csv")
-                    km_path = task.task_dir / pair["moving"].replace(
-                        "images", "keypoints"
-                    ).replace(".nii.gz", ".csv")
-                    if kf_path.exists() and km_path.exists():
-                        kf = np.loadtxt(kf_path, delimiter=",").reshape(-1, 3)
-                        km = np.loadtxt(km_path, delimiter=",").reshape(-1, 3)
-                    moving, _ = load_volume_nib_order(task.task_dir / pair["moving"])
-                    fixed = np.asarray(fixed, np.float32)
-                    moving = np.asarray(moving, np.float32)
-                    if task.use_mask:
-                        mf, _ = load_volume_nib_order(
-                            task.task_dir / pair["fixed"].replace("images", "masks")
-                        )
-                        mm, _ = load_volume_nib_order(
-                            task.task_dir / pair["moving"].replace("images", "masks")
-                        )
-                        fixed = mask_infill(fixed, np.asarray(mf, np.float32))
-                        moving = mask_infill(moving, np.asarray(mm, np.float32))
-                    ff = mindssc(jnp.asarray(fixed), mind_r, mind_d).astype(
-                        cfg.compute_dtype
-                    )
-                    fm = mindssc(jnp.asarray(moving), mind_r, mind_d).astype(
-                        cfg.compute_dtype
-                    )
-                    fields = np.asarray(
-                        convex_adam_multi_output(ff, fm, cfg, iters, smoothings),
-                        np.float32,
-                    )
-                    case_time = time.time() - t0
-
-                    seg_f = seg_m = None
-                    num_labels = 0
-                    lf = task.task_dir / pair["fixed"].replace("images", "labels")
-                    lm = task.task_dir / pair["moving"].replace("images", "labels")
-                    if lf.exists() and lm.exists():
-                        seg_f = np.asarray(
-                            load_volume_nib_order(lf)[0], np.int32
-                        )
-                        seg_m = np.asarray(
-                            load_volume_nib_order(lm)[0], np.int32
-                        )
-                        num_labels = int(max(seg_f.max(), seg_m.max()))
-
-                    for a, it in enumerate(iters):
-                        for b, sm in enumerate(smoothings):
-                            vkey = f"{key0};{it};{sm}"
-                            m = evaluate_field(
-                                fields[a, b], seg_f, seg_m, num_labels,
-                                kpts_fixed=kf, kpts_moving=km,
-                            )
-                            r = per_variant[vkey]
-                            if "dice" in m:
-                                r["dice"].append(m["dice"])
-                                r["dice30"].append(m["dice30"])
-                                r["hd95"].append(m["hd95"])
-                            if "tre" in m:
-                                r["tre"].append(m["tre"])
-                                r["tre30"].append(m["tre30"])
-                            r["sdlogj"].append(m["sdlogj"])
-                            r["time"].append(case_time)
-                            # persist the field like the reference runners
-                            name = Path(pair["fixed"]).stem.replace(".nii", "")
-                            save_volume_nib_order(
-                                fields[a, b],
-                                affine,
-                                output_dir / f"disp_{vkey.replace(';', '_')}_{name}.nii.gz",
-                            )
-                    if verbose:
-                        print(f"{key0} case {pair['fixed']}: {case_time:.2f}s")
-                for vkey, r in per_variant.items():
-                    results[vkey] = {
-                        k: np.asarray(v) for k, v in r.items() if len(v)
+                for arm in arms:
+                    key0 = f"{arm};{grid_sp};{disp_hw};{lam}"
+                    per_variant = {
+                        f"{key0};{it};{sm}": {"dice": [], "dice30": [], "hd95": [],
+                                              "sdlogj": [], "time": [],
+                                              "tre": [], "tre30": []}
+                        for it in iters for sm in smoothings
                     }
-                    results[vkey]["median_case_time"] = float(
-                        np.median(r["time"])
+                    cfg = ConvexAdamConfig(
+                        mind_r=mind_r, mind_d=mind_d, lambda_weight=lam,
+                        grid_sp=grid_sp, disp_hw=disp_hw, dtype=dtype,
                     )
+                    for pair in task.registration_val:
+                        t0 = time.time()
+                        case = _load_case(task, pair)
+                        ff, fm = _arm_features(
+                            arm, case, mind_r, mind_d, cfg.compute_dtype
+                        )
+                        fields = np.asarray(
+                            convex_adam_multi_output(ff, fm, cfg, iters, smoothings),
+                            np.float32,
+                        )
+                        case_time = time.time() - t0
+
+                        for a, it in enumerate(iters):
+                            for b, sm in enumerate(smoothings):
+                                vkey = f"{key0};{it};{sm}"
+                                m = evaluate_field(
+                                    fields[a, b], case["seg_f"], case["seg_m"],
+                                    case["num_labels"],
+                                    kpts_fixed=case["kf"], kpts_moving=case["km"],
+                                )
+                                r = per_variant[vkey]
+                                if "dice" in m:
+                                    r["dice"].append(m["dice"])
+                                    r["dice30"].append(m["dice30"])
+                                    r["hd95"].append(m["hd95"])
+                                if "tre" in m:
+                                    r["tre"].append(m["tre"])
+                                    r["tre30"].append(m["tre30"])
+                                r["sdlogj"].append(m["sdlogj"])
+                                r["time"].append(case_time)
+                                # persist the field like the reference runners
+                                name = Path(pair["fixed"]).stem.replace(".nii", "")
+                                save_volume_nib_order(
+                                    fields[a, b],
+                                    case["affine"],
+                                    output_dir / f"disp_{vkey.replace(';', '_')}_{name}.nii.gz",
+                                )
+                        if verbose:
+                            print(f"{key0} case {pair['fixed']}: {case_time:.2f}s")
+                    for vkey, r in per_variant.items():
+                        results[vkey] = {
+                            k: np.asarray(v) for k, v in r.items() if len(v)
+                        }
+                        results[vkey]["median_case_time"] = float(
+                            np.median(r["time"])
+                        )
     return results
 
 
@@ -311,34 +356,29 @@ def run_testset(
     dtype: str = "float32",
 ) -> list[Path]:
     """Re-run the winning variant on the test pairs and save submission
-    fields (main_for_l2r3_MIND_testset.py)."""
+    fields.  The arm prefix of ``winner_key`` selects the front-end: MIND
+    descriptors (main_for_l2r3_MIND_testset.py:13-88) or semantic one-hot
+    features of the predicted labels (main_for_l2r3_nnUNet_testset.py:13-88)."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    _, grid_sp, disp_hw, lam, it, sm = winner_key.split(";")
+    arm, grid_sp, disp_hw, lam, it, sm = winner_key.split(";")
     mind_r, mind_d = task.mind_params
     cfg = ConvexAdamConfig(
         mind_r=mind_r, mind_d=mind_d, lambda_weight=float(lam),
         grid_sp=int(grid_sp), disp_hw=int(disp_hw),
         selected_niter=int(it), selected_smooth=int(sm), dtype=dtype,
     )
-    from convexadam_tpu.pipeline.convex_adam import convex_adam_jax
+    from convexadam_tpu.pipeline.convex_adam import convex_adam_features
 
     written = []
     for pair in task.registration_test:
-        fixed, affine = load_volume_nib_order(task.task_dir / pair["fixed"])
-        moving, _ = load_volume_nib_order(task.task_dir / pair["moving"])
-        disp = np.asarray(
-            convex_adam_jax(
-                jnp.asarray(fixed, jnp.float32),
-                jnp.asarray(moving, jnp.float32),
-                cfg,
-            ),
-            np.float32,
-        )
+        case = _load_case(task, pair)
+        ff, fm = _arm_features(arm, case, mind_r, mind_d, cfg.compute_dtype)
+        disp = np.asarray(convex_adam_features(ff, fm, cfg), np.float32)
         out = output_dir / (
             f"disp_{Path(pair['fixed']).name.split('.')[0]}_"
             f"{Path(pair['moving']).name.split('.')[0]}.nii.gz"
         )
-        save_volume_nib_order(disp, affine, out)
+        save_volume_nib_order(disp, case["affine"], out)
         written.append(out)
     return written

@@ -24,8 +24,6 @@ the smoothed field into a static-size snapshot buffer inside the scan.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -38,7 +36,6 @@ from convexadam_tpu.core.smoothing import (
 )
 from convexadam_tpu.core.warp import (
     build_corner_stack,
-    warp_with_displacement,
     warp_with_displacement_stacked,
 )
 

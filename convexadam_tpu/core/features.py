@@ -19,11 +19,8 @@ Reference behaviour:
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from convexadam_tpu.core.smoothing import avg_pool3d_replicate
 

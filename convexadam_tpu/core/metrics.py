@@ -21,7 +21,6 @@ import numpy as np
 from convexadam_tpu.core.smoothing import avg_pool3d
 from convexadam_tpu.core.warp import (
     grid_sample_3d,
-    identity_grid_normalized,
 )
 
 

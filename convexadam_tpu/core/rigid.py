@@ -14,11 +14,9 @@ Reference capabilities from the L1 utils and challenge scripts:
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from convexadam_tpu.core.warp import resize_trilinear

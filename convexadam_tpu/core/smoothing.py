@@ -18,12 +18,9 @@ onto the VPU with fused padding.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 
 def _reduce_window_sum_axis(x: jax.Array, axis: int, k: int, stride: int, pad: int):

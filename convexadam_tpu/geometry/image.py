@@ -10,8 +10,6 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Sequence
-
 import numpy as np
 
 

@@ -260,22 +260,39 @@ def convex_adam_multi_output(
 
 
 def validate_volume(img) -> np.ndarray:
-    """Accept numpy / jax arrays, MedicalImage, or torch tensors → float
-    numpy volume (the reference's ``validate_image`` adapter for
-    torch/np/sitk/nib inputs, convex_adam_utils.py:268-279)."""
+    """Accept numpy / jax arrays, MedicalImage, torch tensors, nibabel
+    spatial images, or SimpleITK images → float numpy volume (the
+    reference's ``validate_image`` adapter, convex_adam_utils.py:268-279).
+
+    nibabel / SimpleITK are duck-typed (neither is a dependency of this
+    package): a nibabel image exposes ``get_fdata``; a SimpleITK image is
+    converted through the ``GetArrayFromImage`` function of whatever module
+    defines its class — so the caller's own SimpleITK build is used.  Note
+    SimpleITK arrays come out in (z, y, x) index order, exactly as the
+    reference's ``sitk.GetArrayFromImage`` branch behaves."""
+    import sys
+
     from convexadam_tpu.geometry.image import MedicalImage
 
     if isinstance(img, MedicalImage):
         return np.asarray(img.data, np.float32)
     if isinstance(img, (np.ndarray, jnp.ndarray)):
         return np.asarray(img, np.float32)
+    # nibabel SpatialImage (convex_adam_utils.py:276-277)
+    if hasattr(img, "get_fdata"):
+        return np.asarray(img.get_fdata(), np.float32)
+    # SimpleITK Image (convex_adam_utils.py:272-273)
+    mod = sys.modules.get(type(img).__module__)
+    if mod is not None and hasattr(mod, "GetArrayFromImage"):
+        return np.asarray(mod.GetArrayFromImage(img), np.float32)
     # torch tensors (and anything else numpy-convertible)
     if hasattr(img, "detach"):
         img = img.detach()
     if hasattr(img, "numpy"):
         return np.asarray(img.numpy(), np.float32)
     raise ValueError(
-        "Input image must be a numpy/jax array, MedicalImage, or torch tensor"
+        "Input image must be a numpy/jax array, MedicalImage, torch tensor, "
+        "nibabel image, or SimpleITK image"
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Optional, Sequence
+from typing import Optional, Sequence  # noqa: F401 (Sequence used in annotations)
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +45,6 @@ from convexadam_tpu.core.warp import (
 )
 from convexadam_tpu.selfconfig.settings import (
     STAGE2_SNAPSHOT_ITERS,
-    Stage1PairedSetting,
     Stage1Setting,
     Stage2Setting,
 )

@@ -13,8 +13,6 @@ fall back to an equivalent-distribution numpy sampler).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import numpy as np
 
 

@@ -29,7 +29,9 @@ def main():
     vol = (vol - vol.mean()) / vol.std() * 100
     moving = np.roll(vol, (5, -4, 3), axis=(0, 1, 2))
 
-    cfg = ConvexAdamConfig(dtype="bfloat16")  # TPU-native precision policy
+    # default dtype="auto" resolves to bfloat16 on TPU (the production
+    # precision policy — tests pin its accuracy envelope vs f32)
+    cfg = ConvexAdamConfig()
     fn = jax.jit(lambda a, b: convex_adam_jax(a, b, cfg))
 
     a = jnp.asarray(vol)

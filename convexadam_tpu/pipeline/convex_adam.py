@@ -58,15 +58,19 @@ class ConvexAdamConfig:
     selected_smooth: int = 0
     grid_sp_adam: int = 2
     ic: bool = True
-    # dtype for features / cost volume ("float32" or "bfloat16"); the
-    # reference uses fp16 on GPU — bf16 is the TPU-native equivalent.
-    dtype: str = "float32"
+    # dtype for features / cost volume: "auto" (bfloat16 on TPU, float32
+    # elsewhere — the TPU-native equivalent of the reference's
+    # device-conditional fp16 policy, convex_adam_MIND.py:79,89-91),
+    # "float32", or "bfloat16".
+    dtype: str = "auto"
     # snapshot iteration counts for multi-output runs (self-configuring);
     # empty for the standard single-output pipeline.
     snapshot_iters: tuple[int, ...] = ()
 
     @property
     def compute_dtype(self):
+        if self.dtype == "auto":
+            return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 

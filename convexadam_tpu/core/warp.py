@@ -363,21 +363,39 @@ def _gs_stacked_common(vol8, g, align_corners, vol_shape):
     return compute_dtype, fracs, bases, lin, block, ws, masks, axis_w
 
 
+def _stacked_weighted_reduce(block, fracs, bases, ws, vol_shape):
+    """``out[c] = Σ_k block[k, c] · w_k`` — via the fused Pallas kernel on
+    TPU (one pass over the gathered block, weights computed in VMEM; see
+    ops/warp_pallas.py) or the XLA stack-multiply elsewhere."""
+    C, H, W, D = vol_shape
+    n = block.shape[-1]
+    if jax.default_backend() == "tpu":
+        from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
+            corner_reduce_fwd,
+            corner_reduce_supported,
+        )
+
+        if corner_reduce_supported(n):
+            return corner_reduce_fwd(
+                block.reshape(8 * C, n), fracs, bases, vol_shape
+            )
+    w8 = jnp.stack(ws)  # (8, N)
+    return jnp.sum(block * w8[:, None, :], axis=0)  # (C, N)
+
+
 def _gs_stacked_fwd_impl(vol8, g, align_corners, vol_shape):
-    (compute_dtype, _, _, _, block, ws, _, _) = _gs_stacked_common(
+    (compute_dtype, fracs, bases, _, block, ws, _, _) = _gs_stacked_common(
         vol8, g, align_corners, vol_shape
     )
-    w8 = jnp.stack(ws)  # (8, N)
-    out = jnp.sum(block * w8[:, None, :], axis=0)  # (C, N)
+    out = _stacked_weighted_reduce(block, fracs, bases, ws, vol_shape)
     return out, None
 
 
 def _gs_stacked_fwd(vol8, g, align_corners, vol_shape):
-    (compute_dtype, _, _, _, block, ws, _, _) = _gs_stacked_common(
+    (compute_dtype, fracs, bases, _, block, ws, _, _) = _gs_stacked_common(
         vol8, g, align_corners, vol_shape
     )
-    w8 = jnp.stack(ws)
-    out = jnp.sum(block * w8[:, None, :], axis=0)
+    out = _stacked_weighted_reduce(block, fracs, bases, ws, vol_shape)
     # save the gathered block: the backward then needs NO gather at all
     # (the zero-size token only carries vol8's dtype for the cotangent)
     return out, (block, g, jnp.zeros((0,), vol8.dtype))
@@ -414,25 +432,42 @@ def _gs_stacked_bwd(align_corners, vol_shape, res, ct):
                 axis_w.append((dx, dy, dz, wx, wy, wz))
     ct = ct.astype(compute_dtype)
     n = g.shape[0]
-    # all 8 corner reductions in one pass over block: cv[k, n] = Σ_c ct·block
-    cv = jnp.einsum(
-        "cn,kcn->kn", ct, block.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    dxs = jnp.zeros((n,), compute_dtype)
-    dys = jnp.zeros((n,), compute_dtype)
-    dzs = jnp.zeros((n,), compute_dtype)
-    ctw8 = []
-    for k, (dx, dy, dz, wx, wy, wz) in enumerate(axis_w):
-        m = masks[k]
-        ct_dot_v = cv[k]
-        sx = 1.0 if dx else -1.0
-        sy = 1.0 if dy else -1.0
-        sz = 1.0 if dz else -1.0
-        dxs = dxs + ct_dot_v * (sx * wy * wz * m)
-        dys = dys + ct_dot_v * (wx * sy * wz * m)
-        dzs = dzs + ct_dot_v * (wx * wy * sz * m)
-        ctw8.append(ct * ws[k][None, :])
+    use_pallas = False
+    if jax.default_backend() == "tpu":
+        from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
+            corner_reduce_bwd,
+            corner_reduce_supported,
+        )
+
+        use_pallas = corner_reduce_supported(n)
+    if use_pallas:
+        # fused single pass over block: corner reductions + dxs/dys/dzs
+        dg3 = corner_reduce_bwd(
+            block.reshape(8 * C, n), ct.astype(jnp.float32),
+            (fx, fy, fz), (x0i, y0i, z0i), (C, H, W, D),
+        )
+        dxs, dys, dzs = dg3[0], dg3[1], dg3[2]
+    else:
+        # all 8 corner reductions in one pass: cv[k, n] = Σ_c ct·block
+        cv = jnp.einsum(
+            "cn,kcn->kn", ct, block.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        dxs = jnp.zeros((n,), compute_dtype)
+        dys = jnp.zeros((n,), compute_dtype)
+        dzs = jnp.zeros((n,), compute_dtype)
+        for k, (dx, dy, dz, wx, wy, wz) in enumerate(axis_w):
+            m = masks[k]
+            ct_dot_v = cv[k]
+            sx = 1.0 if dx else -1.0
+            sy = 1.0 if dy else -1.0
+            sz = 1.0 if dz else -1.0
+            dxs = dxs + ct_dot_v * (sx * wy * wz * m)
+            dys = dys + ct_dot_v * (wx * sy * wz * m)
+            dzs = dzs + ct_dot_v * (wx * wy * sz * m)
+    # cotangent for the stacked volume (lazy — DCE'd when unused, which is
+    # always the case in the Adam loop where vol8 is a constant)
+    ctw8 = [ct * ws[k][None, :] for k in range(8)]
     # cotangent for the stacked volume (scatter — DCE'd when unused)
     dvol8_flat = jnp.zeros((8 * C, (H + 1) * (W + 1) * (D + 1)), compute_dtype)
     dvol8_flat = dvol8_flat.at[:, lin].add(

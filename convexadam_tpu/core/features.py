@@ -96,20 +96,37 @@ def mindssc(
     convex_adam_MIND.py:57-59; the bf16 golden test pins the accuracy
     envelope of computing the descriptor itself in bf16).
     """
-    pairs = _mind_shift_pairs()
     x = img.reshape(img.shape[-3:]).astype(dtype)
 
-    diffs = []
-    for (s1, s2) in pairs:
-        o1 = tuple((c - 1) * dilation for c in s1)
-        o2 = tuple((c - 1) * dilation for c in s2)
-        d = shifted_replicate(x, o1) - shifted_replicate(x, o2)
-        diffs.append(d * d)
-    ssd = jnp.stack(diffs, axis=0)  # (12, H, W, D)
-    ssd = avg_pool3d_replicate(ssd, 2 * radius + 1)
+    use_pallas = False
+    if jax.default_backend() == "tpu":
+        from convexadam_tpu.ops.mind_pallas import (  # noqa: PLC0415
+            mind_supported,
+        )
 
-    mind = ssd - jnp.min(ssd, axis=0, keepdims=True)
-    mind_var = jnp.mean(mind.astype(jnp.float32), axis=0, keepdims=True)
+        use_pallas = mind_supported(x.shape, radius, dilation, x.dtype.itemsize)
+    if use_pallas:
+        # fused Pallas pass: diffs + box filter + min/variance per VMEM tile
+        # (the 12-channel volume is written once instead of streamed ~6x)
+        from convexadam_tpu.ops.mind_pallas import (  # noqa: PLC0415
+            mind_ssd_stats_pallas,
+        )
+
+        mind, mind_var = mind_ssd_stats_pallas(x, radius, dilation)
+        mind_var = mind_var[None]
+    else:
+        pairs = _mind_shift_pairs()
+        diffs = []
+        for (s1, s2) in pairs:
+            o1 = tuple((c - 1) * dilation for c in s1)
+            o2 = tuple((c - 1) * dilation for c in s2)
+            d = shifted_replicate(x, o1) - shifted_replicate(x, o2)
+            diffs.append(d * d)
+        ssd = jnp.stack(diffs, axis=0)  # (12, H, W, D)
+        ssd = avg_pool3d_replicate(ssd, 2 * radius + 1)
+        mind = ssd - jnp.min(ssd, axis=0, keepdims=True)
+        mind_var = jnp.mean(mind.astype(jnp.float32), axis=0, keepdims=True)
+
     gm = jnp.mean(mind_var)
     mind_var = jnp.clip(mind_var, gm * 0.001, gm * 1000.0)
     mind = jnp.exp(-(mind.astype(jnp.float32) / mind_var)).astype(dtype)

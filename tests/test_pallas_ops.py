@@ -143,3 +143,49 @@ def test_corner_reduce_supported():
     assert corner_reduce_supported(96 ** 3)
     assert corner_reduce_supported(512)
     assert not corner_reduce_supported(101 * 7)
+
+
+# ---------------------------------------------------------------------------
+# fused MIND-SSC kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("r,d", [(1, 2), (2, 2), (3, 3)])
+def test_mind_pallas_matches_xla(rng, r, d):
+    """The fused diff+box+min/var kernel must match the XLA mindssc stages
+    exactly (incl. the replicate-clamped borders — the round-1 blocker)."""
+    from convexadam_tpu.core.features import (
+        _mind_shift_pairs,
+        shifted_replicate,
+    )
+    from convexadam_tpu.core.smoothing import avg_pool3d_replicate
+    from convexadam_tpu.ops.mind_pallas import mind_ssd_stats_pallas
+
+    H, W, D = 16, 16, 20
+    x = jnp.asarray(rng.standard_normal((H, W, D)).astype(np.float32))
+
+    mind_p, var_p = mind_ssd_stats_pallas(x, r, d, interpret=True)
+
+    diffs = []
+    for (s1, s2) in _mind_shift_pairs():
+        o1 = tuple((c - 1) * d for c in s1)
+        o2 = tuple((c - 1) * d for c in s2)
+        dd = shifted_replicate(x, o1) - shifted_replicate(x, o2)
+        diffs.append(dd * dd)
+    ssd = avg_pool3d_replicate(jnp.stack(diffs), 2 * r + 1)
+    mind_ref = ssd - jnp.min(ssd, axis=0, keepdims=True)
+    var_ref = jnp.mean(mind_ref.astype(jnp.float32), axis=0)
+
+    np.testing.assert_allclose(
+        np.asarray(mind_p), np.asarray(mind_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_p), np.asarray(var_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_mind_supported():
+    from convexadam_tpu.ops.mind_pallas import mind_supported
+
+    assert mind_supported((192, 192, 192), 1, 2, 2)
+    assert mind_supported((96, 96, 96), 1, 2, 4)
+    assert not mind_supported((100, 100, 100), 1, 2, 4)  # no tile divides

@@ -36,7 +36,7 @@ from convexadam_tpu.core.smoothing import (
 )
 from convexadam_tpu.core.warp import (
     build_corner_stack,
-    warp_with_displacement_stacked,
+    warp_ssd_mean_loss,
 )
 
 # stage-2 "shift-spline" smoother bank (adam_run_withconfig_shiftSpline.py:140-141):
@@ -97,11 +97,10 @@ def _loss_fn(
 ) -> tuple[jax.Array, jax.Array]:
     disp_sample = smooth_fn(weight)
     reg = lambda_weight * diffusion_regularizer(disp_sample)
-    warped = warp_with_displacement_stacked(
-        feat_mov_stack, feat_mov_shape, disp_sample
+    data = warp_ssd_mean_loss(
+        feat_mov_stack, feat_mov_shape, disp_sample, feat_fix, cost_scale
     )
-    cost = jnp.mean((warped - feat_fix) ** 2, axis=0) * cost_scale
-    return jnp.mean(cost) + reg, disp_sample
+    return data + reg, disp_sample
 
 
 @functools.partial(

@@ -507,6 +507,118 @@ def warp_with_displacement_stacked(
     return out.reshape((C, H, W, D))
 
 
+# ---------------------------------------------------------------------------
+# fused data-term loss (Adam loop): warp + SSD + reductions in the kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _stacked_mse(vol8, g, fix_flat, cost_scale, align_corners, vol_shape):
+    loss, _ = _stacked_mse_fwd(
+        vol8, g, fix_flat, cost_scale, align_corners, vol_shape
+    )
+    return loss
+
+
+def _stacked_mse_fwd(vol8, g, fix_flat, cost_scale, align_corners, vol_shape):
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_fwd_res
+
+    C, H, W, D = vol_shape
+    compute_dtype = jnp.promote_types(vol8.dtype, g.dtype)
+    gc = g.astype(compute_dtype)
+    _, fracs, bases = _gs_coords((C, H, W, D), gc, align_corners, "zeros")
+    x0i, y0i, z0i = bases
+    xb = jnp.clip(x0i + 1, 0, H)
+    yb = jnp.clip(y0i + 1, 0, W)
+    zb = jnp.clip(z0i + 1, 0, D)
+    lin = (xb * (W + 1) + yb) * (D + 1) + zb
+    vol8_flat = vol8.reshape(8 * C, -1)
+    block = jnp.take(vol8_flat, lax.optimization_barrier(lin), axis=1)
+    block = lax.optimization_barrier(block)
+    res, ssq = corner_reduce_fwd_res(
+        block, fracs, bases, fix_flat.astype(jnp.float32), vol_shape
+    )
+    n = g.shape[0]
+    ssq_total = jnp.sum(ssq)
+    loss = ssq_total * (cost_scale / (C * n))
+    return loss, (
+        block, g, res, cost_scale, ssq_total, jnp.zeros((0,), vol8.dtype)
+    )
+
+
+def _stacked_mse_bwd(align_corners, vol_shape, resids, ctl):
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_bwd
+
+    block, g, res, cost_scale, ssq_total, vol8_token = resids
+    C, H, W, D = vol_shape
+    n = g.shape[0]
+    gc = g.astype(jnp.float32)
+    _, fracs, bases = _gs_coords((C, H, W, D), gc, align_corners, "zeros")
+    chain = ctl * (2.0 * cost_scale / (C * n))
+    dg3 = corner_reduce_bwd(
+        block, res, fracs, bases, (C, H, W, D), scale=chain
+    )
+    if align_corners:
+        sc = ((H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0)
+    else:
+        sc = (H / 2.0, W / 2.0, D / 2.0)
+    dg = jnp.stack(
+        [dg3[0] * sc[0], dg3[1] * sc[1], dg3[2] * sc[2]], axis=1
+    ).astype(g.dtype)
+    # vol8/fix cotangents are lazy (DCE'd in the Adam loop where both are
+    # loop constants)
+    dvol8 = jnp.zeros(
+        (8, C, H + 1, W + 1, D + 1), vol8_token.dtype
+    )
+    dfix = (-chain) * res
+    dcost = ctl * ssq_total / (C * n)
+    return dvol8, dg, dfix, dcost
+
+
+_stacked_mse.defvjp(_stacked_mse_fwd, _stacked_mse_bwd)
+
+
+def warp_ssd_mean_loss(
+    vol8: jax.Array,
+    vol_shape: tuple[int, int, int, int],
+    disp_voxels: jax.Array,
+    feat_fix: jax.Array,
+    cost_scale,
+    align_corners: bool = False,
+) -> jax.Array:
+    """The Adam data term ``mean(mean_c((warp(mov) − fix)²) · cost_scale)``
+    (convex_adam_MIND.py:174-176) on a prebuilt corner stack.
+
+    On TPU the residual and its square-sum come straight out of the fused
+    forward kernel and the MSE chain factor folds into the backward kernel
+    (ops/warp_pallas.py) — the separate loss/cotangent elementwise passes
+    over the (C, N) warped features disappear.  Elsewhere this is the plain
+    composition of the stacked sampler with the XLA reductions.
+    """
+    C, H, W, D = vol_shape
+    scale = jnp.array(
+        [(H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0], dtype=disp_voxels.dtype
+    ).reshape(3, 1, 1, 1)
+    grid = identity_grid_normalized((H, W, D), align_corners, disp_voxels.dtype)
+    grid = grid + jnp.moveaxis(disp_voxels / scale, 0, -1)
+    g = grid.reshape(-1, 3)
+    n = g.shape[0]
+    if jax.default_backend() == "tpu":
+        from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
+            corner_reduce_supported,
+        )
+
+        if corner_reduce_supported(n):
+            return _stacked_mse(
+                vol8, g, feat_fix.reshape(C, -1).astype(jnp.float32),
+                cost_scale, align_corners, vol_shape,
+            )
+    warped = _grid_sample_stacked(vol8, g, align_corners, vol_shape).reshape(
+        (C, H, W, D)
+    )
+    cost = jnp.mean((warped - feat_fix) ** 2, axis=0) * cost_scale
+    return jnp.mean(cost)
+
+
 def warp_with_displacement(
     vol: jax.Array,
     disp_voxels: jax.Array,

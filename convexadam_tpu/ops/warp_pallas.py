@@ -99,7 +99,11 @@ def corner_reduce_fwd(
     )(block, fr, base)
 
 
-def _bwd_kernel(block_ref, ct_ref, fr_ref, base_ref, dg_ref, *, C, H, W, D):
+def _fwd_res_kernel(
+    block_ref, fr_ref, base_ref, fix_ref, res_ref, ssq_ref, *, C, H, W, D
+):
+    """Forward reduce fused with the SSD data term: writes the residual
+    ``res = Σ_k w_k·block_k − fix`` and this tile's ``Σ res²`` partial."""
     fx, fy, fz = fr_ref[0:1, :], fr_ref[1:2, :], fr_ref[2:3, :]
     x0, y0, z0 = base_ref[0:1, :], base_ref[1:2, :], base_ref[2:3, :]
     wx = (1.0 - fx, fx)
@@ -108,7 +112,77 @@ def _bwd_kernel(block_ref, ct_ref, fr_ref, base_ref, dg_ref, *, C, H, W, D):
     vx = ((x0 >= 0) & (x0 < H), (x0 + 1 >= 0) & (x0 + 1 < H))
     vy = ((y0 >= 0) & (y0 < W), (y0 + 1 >= 0) & (y0 + 1 < W))
     vz = ((z0 >= 0) & (z0 < D), (z0 + 1 >= 0) & (z0 + 1 < D))
-    ct = ct_ref[:].astype(jnp.float32)  # (C, TN)
+    acc = None
+    k = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                m = (vx[dx] & vy[dy] & vz[dz]).astype(jnp.float32)
+                w = wx[dx] * wy[dy] * wz[dz] * m
+                blk = block_ref[k * C:(k + 1) * C, :].astype(jnp.float32)
+                term = blk * w
+                acc = term if acc is None else acc + term
+                k += 1
+    res = acc - fix_ref[:].astype(jnp.float32)
+    res_ref[:] = res
+    # ssq_ref is the full (n_tiles, 1) SMEM array; each program writes its
+    # own slot (Mosaic only allows SMEM blocks covering the whole array)
+    ssq_ref[pl.program_id(0), 0] = jnp.sum(res * res)
+
+
+@functools.partial(jax.jit, static_argnames=("vol_shape", "interpret"))
+def corner_reduce_fwd_res(
+    block: jax.Array,
+    fracs: tuple,
+    bases: tuple,
+    fix_flat: jax.Array,
+    vol_shape: tuple,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused sample+residual: returns (res (C, N) f32, per-tile ssq partials
+    (n_tiles, 1) f32) where ``res = warp(stack) − fix``."""
+    C8, n = block.shape
+    C = C8 // 8
+    _, H, W, D = vol_shape
+    TN = _pick_tn(n)
+    fr = jnp.stack([f.astype(jnp.float32) for f in fracs])
+    base = jnp.stack([b.astype(jnp.int32) for b in bases])
+    kernel = functools.partial(_fwd_res_kernel, C=C, H=H, W=W, D=D)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, n), jnp.float32),
+            jax.ShapeDtypeStruct((n // TN, 1), jnp.float32),
+        ),
+        grid=(n // TN,),
+        in_specs=[
+            pl.BlockSpec((C8, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((C, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n // TN, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+        interpret=interpret,
+    )(block, fr, base, fix_flat)
+
+
+def _bwd_kernel(
+    block_ref, ct_ref, scale_ref, fr_ref, base_ref, dg_ref, *, C, H, W, D
+):
+    fx, fy, fz = fr_ref[0:1, :], fr_ref[1:2, :], fr_ref[2:3, :]
+    x0, y0, z0 = base_ref[0:1, :], base_ref[1:2, :], base_ref[2:3, :]
+    wx = (1.0 - fx, fx)
+    wy = (1.0 - fy, fy)
+    wz = (1.0 - fz, fz)
+    vx = ((x0 >= 0) & (x0 < H), (x0 + 1 >= 0) & (x0 + 1 < H))
+    vy = ((y0 >= 0) & (y0 < W), (y0 + 1 >= 0) & (y0 + 1 < W))
+    vz = ((z0 >= 0) & (z0 < D), (z0 + 1 >= 0) & (z0 + 1 < D))
+    ct = ct_ref[:].astype(jnp.float32) * scale_ref[0, 0]  # (C, TN)
     dxs = dys = dzs = None
     k = 0
     for dx in (0, 1):
@@ -140,17 +214,20 @@ def corner_reduce_bwd(
     fracs: tuple,
     bases: tuple,
     vol_shape: tuple,
+    scale: "jax.Array | float" = 1.0,
     interpret: bool = False,
 ) -> jax.Array:
     """Coordinate-gradient rows (3, N) f32 = the dxs/dys/dzs accumulation of
     the stacked sampler's VJP, one pass over ``block`` (8C, N) and ``ct``
-    (C, N)."""
+    (C, N); ``ct`` is multiplied by the scalar ``scale`` in-kernel (the
+    fused-loss path passes the residual here with the MSE chain factor)."""
     C8, n = block.shape
     C = C8 // 8
     _, H, W, D = vol_shape
     TN = _pick_tn(n)
     fr = jnp.stack([f.astype(jnp.float32) for f in fracs])
     base = jnp.stack([b.astype(jnp.int32) for b in bases])
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     kernel = functools.partial(_bwd_kernel, C=C, H=H, W=W, D=D)
     return pl.pallas_call(
         kernel,
@@ -159,6 +236,7 @@ def corner_reduce_bwd(
         in_specs=[
             pl.BlockSpec((C8, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -166,4 +244,4 @@ def corner_reduce_bwd(
             (3, TN), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(block, ct, fr, base)
+    )(block, ct, scale_arr, fr, base)

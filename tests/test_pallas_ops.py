@@ -189,3 +189,75 @@ def test_mind_supported():
     assert mind_supported((192, 192, 192), 1, 2, 2)
     assert mind_supported((96, 96, 96), 1, 2, 4)
     assert not mind_supported((100, 100, 100), 1, 2, 4)  # no tile divides
+
+
+def test_fused_mse_loss_value_and_grad_match_xla(rng):
+    """The fused data-term path (_stacked_mse kernels, interpret mode) must
+    match value AND gradient of the XLA stacked-sampler composition."""
+    import jax
+    from convexadam_tpu.core.warp import (
+        _gs_coords,
+        build_corner_stack,
+        identity_grid_normalized,
+        warp_with_displacement_stacked,
+    )
+    from convexadam_tpu.ops.warp_pallas import (
+        corner_reduce_bwd,
+        corner_reduce_fwd_res,
+    )
+
+    C, H, W, D = 3, 8, 8, 8
+    cost_scale = 7.0
+    mov = rng.standard_normal((C, H, W, D)).astype(np.float32)
+    fix = rng.standard_normal((C, H, W, D)).astype(np.float32)
+    disp = (rng.standard_normal((3, H, W, D)) * 1.5).astype(np.float32)
+    stack = build_corner_stack(jnp.asarray(mov))
+
+    def xla_loss(d):
+        warped = warp_with_displacement_stacked(stack, (C, H, W, D), d)
+        return jnp.mean(
+            jnp.mean((warped - jnp.asarray(fix)) ** 2, axis=0) * cost_scale
+        )
+
+    ref_val, ref_grad = jax.value_and_grad(xla_loss)(jnp.asarray(disp))
+
+    # fused path, interpret mode: replicate _stacked_mse_fwd/_bwd by hand
+    scale = jnp.array(
+        [(H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0], jnp.float32
+    ).reshape(3, 1, 1, 1)
+    grid = identity_grid_normalized((H, W, D), False, jnp.float32)
+    g = (grid + jnp.moveaxis(jnp.asarray(disp) / scale, 0, -1)).reshape(-1, 3)
+    n = g.shape[0]
+    _, fracs, bases = _gs_coords((C, H, W, D), g, False, "zeros")
+    x0i, y0i, z0i = bases
+    xb = jnp.clip(x0i + 1, 0, H)
+    yb = jnp.clip(y0i + 1, 0, W)
+    zb = jnp.clip(z0i + 1, 0, D)
+    lin = (xb * (W + 1) + yb) * (D + 1) + zb
+    block = jnp.take(stack.reshape(8 * C, -1), lin, axis=1)
+    res, ssq = corner_reduce_fwd_res(
+        block, fracs, bases, jnp.asarray(fix).reshape(C, -1), (C, H, W, D),
+        interpret=True,
+    )
+    val = float(jnp.sum(ssq) * (cost_scale / (C * n)))
+    np.testing.assert_allclose(val, float(ref_val), rtol=1e-5)
+
+    chain = 2.0 * cost_scale / (C * n)
+    dg3 = corner_reduce_bwd(
+        block, res, fracs, bases, (C, H, W, D), scale=chain, interpret=True
+    )
+    # chain dg back to ddisp: dg rows scale by (n-1)/2 per axis, then the
+    # grid build divides disp by the same factors -> ddisp = dg3 * chain? No:
+    # d(loss)/d(disp) = d(loss)/dg * dg/ddisp; g = id + disp/scale per axis
+    # and the sampler bwd's dg already contains the (dim/2) normalisation
+    # factors, so ddisp_axis = dg_axis * ((H-1)/2 etc... ) / scale_axis = dg3
+    # row (the two factors cancel for align_corners-True-style /(n-1)/2).
+    sc = (H / 2.0, W / 2.0, D / 2.0)  # sampler ac=False factors
+    dd = np.stack(
+        [
+            np.asarray(dg3[0]) * sc[0] / ((H - 1) / 2.0),
+            np.asarray(dg3[1]) * sc[1] / ((W - 1) / 2.0),
+            np.asarray(dg3[2]) * sc[2] / ((D - 1) / 2.0),
+        ]
+    ).reshape(3, H, W, D)
+    np.testing.assert_allclose(dd, np.asarray(ref_grad), rtol=1e-4, atol=1e-5)

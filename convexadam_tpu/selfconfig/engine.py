@@ -43,6 +43,7 @@ from convexadam_tpu.core.warp import (
     resize_trilinear,
     warp_with_displacement,
 )
+from convexadam_tpu.parallel.distributed import make_global as _mg
 from convexadam_tpu.selfconfig.settings import (
     STAGE2_SNAPSHOT_ITERS,
     Stage1Setting,
@@ -161,17 +162,27 @@ def _mesh_factors(mesh: Optional[Mesh]) -> tuple[int, int]:
 
 def _sweep_specs(mesh: Optional[Mesh]):
     """(pair-sharded, setting-sharded, replicated, (setting,pair)-out)
-    NamedShardings for a sweep mesh (None mesh → all None)."""
+    NamedShardings for a sweep mesh (None mesh → all None).
+
+    Under a multi-process (DCN) runtime the outputs come back fully
+    replicated instead — XLA all-gathers the small metric tensors across
+    hosts so every process can read them with plain np.asarray
+    (parallel/distributed.py)."""
     if mesh is None:
         return None, None, None, None
     names = mesh.axis_names
     set_ax = "setting" if "setting" in names else None
     pair_ax = "pair" if "pair" in names else None
+    out_spec = (
+        PartitionSpec()
+        if jax.process_count() > 1
+        else PartitionSpec(set_ax, pair_ax)
+    )
     return (
         NamedSharding(mesh, PartitionSpec(pair_ax)),
         NamedSharding(mesh, PartitionSpec(set_ax)),
         NamedSharding(mesh, PartitionSpec()),
-        NamedSharding(mesh, PartitionSpec(set_ax, pair_ax)),
+        NamedSharding(mesh, out_spec),
     )
 
 
@@ -314,8 +325,9 @@ def run_stage1_sweep(
         )
         t0 = time.time()
         out = compiled[key](
-            preds_np[fi_p], preds_np[mi_p], segs_np[fi_p], segs_np[mi_p],
-            mults,
+            _mg(preds_np[fi_p], pair_sh), _mg(preds_np[mi_p], pair_sh),
+            _mg(segs_np[fi_p], pair_sh), _mg(segs_np[mi_p], pair_sh),
+            _mg(mults, set_sh),
         )
         if compute_hd95:
             d, js, nf, seg_warped = out
@@ -496,7 +508,8 @@ def run_stage2_sweep(
             out_shardings=pair_sh,
         )
     disps_lr = coarse_fn(
-        preds_np[fi_p], preds_np[mi_p], jnp.float32(convex_setting.nn_mult)
+        _mg(preds_np[fi_p], pair_sh), _mg(preds_np[mi_p], pair_sh),
+        np.float32(convex_setting.nn_mult),
     )
 
     S = len(adam_settings)
@@ -543,8 +556,10 @@ def run_stage2_sweep(
         )
         t0 = time.time()
         out = compiled[key](
-            preds_np[fi_p], preds_np[mi_p], segs_np[fi_p], segs_np[mi_p],
-            disps_lr, jnp.float32(convex_setting.nn_mult), lws,
+            _mg(preds_np[fi_p], pair_sh), _mg(preds_np[mi_p], pair_sh),
+            _mg(segs_np[fi_p], pair_sh), _mg(segs_np[mi_p], pair_sh),
+            disps_lr, np.float32(convex_setting.nn_mult),
+            _mg(lws, set_sh),
         )
         if compute_hd95:
             dice_g, js_g, nf_g, sw_g = out

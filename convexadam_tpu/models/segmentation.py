@@ -1,0 +1,126 @@
+"""Segmentation front-end: a compact nnU-Net-style 3D U-Net (flax) and
+Gaussian-blended sliding-window inference.
+
+The reference consumes nnU-Net segmentations from disk
+(``predictedlabels``, main_for_l2r3_nnUNet.py:76-80) and only vendors the
+sliding-window helpers (convex_adam_utils.py:196-237).  This module closes
+the loop: a TPU-native segmentation network whose predictions feed
+``convex_adam_semantic_jax`` directly, so semantic registration runs
+end-to-end from raw images.
+
+Architecture follows the nnU-Net recipe (3x3x3 convs, instance norm,
+leaky ReLU, strided-conv downsampling, transposed-conv upsampling, skip
+concatenation); channel widths are configurable and deliberately small by
+default — the segmentation budget of this method is minor next to the
+registration itself.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convexadam_tpu.utils.sliding_window import (
+    compute_steps_for_sliding_window,
+    get_gaussian,
+)
+
+
+class ConvBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3, 3), padding="SAME", use_bias=True)(x)
+            # instance norm = group norm with one channel per group
+            x = nn.GroupNorm(num_groups=None, group_size=1)(x)
+            x = nn.leaky_relu(x, 0.01)
+        return x
+
+
+class UNet3D(nn.Module):
+    """nnU-Net-style encoder/decoder over (B, H, W, D, C_in) volumes →
+    (B, H, W, D, num_classes) logits."""
+
+    num_classes: int
+    channels: Sequence[int] = (16, 32, 64)
+
+    @nn.compact
+    def __call__(self, x):
+        skips = []
+        for c in self.channels[:-1]:
+            x = ConvBlock(c)(x)
+            skips.append(x)
+            x = nn.Conv(c, (3, 3, 3), strides=(2, 2, 2), padding="SAME")(x)
+        x = ConvBlock(self.channels[-1])(x)
+        for c, skip in zip(reversed(self.channels[:-1]), reversed(skips)):
+            x = nn.ConvTranspose(c, (2, 2, 2), strides=(2, 2, 2))(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvBlock(c)(x)
+        return nn.Conv(self.num_classes, (1, 1, 1))(x)
+
+
+def sliding_window_predict(
+    predict_logits: Callable[[jax.Array], jax.Array],
+    volume: np.ndarray,
+    patch_size: Sequence[int],
+    step_size: float = 0.5,
+    gaussian: bool = True,
+) -> np.ndarray:
+    """Tile ``volume`` (H, W, D) with overlapping patches, blend the
+    per-patch logits with a Gaussian importance map, and return the argmax
+    label volume (the nnU-Net inference scheme the reference's helpers
+    support, convex_adam_utils.py:196-237).
+
+    ``predict_logits``: (h, w, d) patch → (h, w, d, C) logits; it is called
+    with one static patch shape, so a single jit compilation serves all
+    windows.
+    """
+    volume = np.asarray(volume, np.float32)
+    patch_size = [min(p, s) for p, s in zip(patch_size, volume.shape)]
+    pad = [max(0, p - s) for p, s in zip(patch_size, volume.shape)]
+    if any(pad):
+        volume = np.pad(volume, [(0, p) for p in pad], mode="edge")
+    shape = volume.shape
+
+    steps = compute_steps_for_sliding_window(patch_size, shape, step_size)
+    imp = (
+        get_gaussian(patch_size)
+        if gaussian
+        else np.ones(patch_size, np.float32)
+    )
+
+    acc = None
+    norm = np.zeros(shape, np.float32)
+    for sx in steps[0]:
+        for sy in steps[1]:
+            for sz in steps[2]:
+                patch = volume[
+                    sx: sx + patch_size[0],
+                    sy: sy + patch_size[1],
+                    sz: sz + patch_size[2],
+                ]
+                logits = np.asarray(predict_logits(jnp.asarray(patch)))
+                if acc is None:
+                    acc = np.zeros(shape + (logits.shape[-1],), np.float32)
+                acc[
+                    sx: sx + patch_size[0],
+                    sy: sy + patch_size[1],
+                    sz: sz + patch_size[2],
+                ] += logits * imp[..., None]
+                norm[
+                    sx: sx + patch_size[0],
+                    sy: sy + patch_size[1],
+                    sz: sz + patch_size[2],
+                ] += imp
+    labels = np.argmax(acc / norm[..., None], axis=-1).astype(np.int32)
+    if any(pad):
+        labels = labels[
+            : shape[0] - pad[0], : shape[1] - pad[1], : shape[2] - pad[2]
+        ]
+    return labels

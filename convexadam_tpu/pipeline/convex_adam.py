@@ -263,6 +263,49 @@ def convex_adam_multi_output(
     return jnp.stack(outs)
 
 
+def convex_adam_semantic_from_images(
+    img_fixed,
+    img_moving,
+    predict_logits,
+    patch_size,
+    cfg: "ConvexAdamConfig | None" = None,
+    num_labels: "int | None" = None,
+    mult: float = 10.0,
+    normalize: bool = True,
+    step_size: float = 0.5,
+) -> np.ndarray:
+    """End-to-end semantic registration from raw intensity volumes.
+
+    Closes the loop the reference leaves external (it loads nnU-Net
+    predictions from a ``predictedlabels`` directory,
+    main_for_l2r3_nnUNet.py:76-80): nnU-Net-style intensity normalisation →
+    Gaussian-blended sliding-window segmentation (``predict_logits``: a
+    patch → logits function, e.g. a bound ``models.UNet3D``) → weighted
+    one-hot semantic registration (convex_adam_nnUNet.py:41-159).
+
+    Returns the displacement field (H, W, D, 3) in voxels.
+    """
+    from convexadam_tpu.core.features import nnunet_norm
+    from convexadam_tpu.models.segmentation import sliding_window_predict
+
+    if cfg is None:
+        cfg = ConvexAdamConfig()
+    f = validate_volume(img_fixed)
+    m = validate_volume(img_moving)
+    if normalize:
+        f = np.asarray(nnunet_norm(jnp.asarray(f)))
+        m = np.asarray(nnunet_norm(jnp.asarray(m)))
+    pred_f = sliding_window_predict(predict_logits, f, patch_size, step_size)
+    pred_m = sliding_window_predict(predict_logits, m, patch_size, step_size)
+    if num_labels is None:
+        num_labels = int(max(pred_f.max(), pred_m.max())) + 1
+    out = convex_adam_semantic_jax(
+        jnp.asarray(pred_f), jnp.asarray(pred_m), cfg,
+        num_labels=num_labels, mult=mult,
+    )
+    return np.asarray(out, np.float32)
+
+
 def validate_volume(img) -> np.ndarray:
     """Accept numpy / jax arrays, MedicalImage, torch tensors, nibabel
     spatial images, or SimpleITK images → float numpy volume (the

@@ -1,0 +1,115 @@
+"""Segmentation front-end: U-Net forward, sliding-window blending, and
+end-to-end semantic registration from raw images."""
+
+import numpy as np
+import optax
+
+import jax
+import jax.numpy as jnp
+
+from convexadam_tpu.models import UNet3D, sliding_window_predict
+
+
+def test_unet_forward_shapes():
+    model = UNet3D(num_classes=3, channels=(4, 8))
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 16, 16, 3)
+
+
+def test_sliding_window_matches_direct_for_shift_invariant_fn():
+    """For a voxelwise (shift-invariant) predictor, blended sliding-window
+    inference must equal direct full-volume inference."""
+    def predict(patch):  # 2-class threshold classifier
+        return jnp.stack([-patch, patch], axis=-1)
+
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((20, 24, 28)).astype(np.float32)
+    out = sliding_window_predict(predict, vol, (8, 8, 8), step_size=0.5)
+    direct = np.asarray(jnp.argmax(predict(jnp.asarray(vol)), -1))
+    np.testing.assert_array_equal(out, direct)
+    # volume smaller than the patch: padded then cropped back
+    small = rng.standard_normal((5, 6, 7)).astype(np.float32)
+    out_s = sliding_window_predict(predict, small, (8, 8, 8))
+    assert out_s.shape == small.shape
+
+
+def test_end_to_end_semantic_registration_from_images():
+    """Train a tiny U-Net to segment bright cubes, then register two shifted
+    raw volumes through segmentation + semantic ConvexAdam — the full
+    nnU-Net flow incl. the step the reference outsources to disk."""
+    from convexadam_tpu.core.metrics import dice_coeff
+    from convexadam_tpu.core.warp import warp_with_displacement
+    from convexadam_tpu.pipeline.convex_adam import (
+        ConvexAdamConfig,
+        convex_adam_semantic_from_images,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def make_case(offset):
+        seg = np.zeros((32, 32, 32), np.int32)
+        o = np.asarray(offset)
+        seg[8 + o[0]: 22 + o[0], 8 + o[1]: 22 + o[1], 8 + o[2]: 22 + o[2]] = 1
+        img = seg * 2.0 + rng.standard_normal(seg.shape).astype(np.float32) * 0.2
+        return img.astype(np.float32), seg
+
+    # train on a few random offsets
+    model = UNet3D(num_classes=2, channels=(4, 8))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1))
+    )
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, img, seg):
+        def loss_fn(p):
+            logits = model.apply(p, img[None, ..., None])[0]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, seg
+            ).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(150):
+        img, seg = make_case(rng.integers(-4, 5, 3))
+        patch = img[:16, :16, :16]
+        ps = seg[:16, :16, :16]
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(patch), jnp.asarray(ps))
+    assert float(loss) < 0.25, f"segmenter failed to train: loss={float(loss)}"
+
+    @jax.jit
+    def predict(patch):
+        return model.apply(params, patch[None, ..., None])[0]
+
+    fixed_img, fixed_seg = make_case((0, 0, 0))
+    moving_img, moving_seg = make_case((3, -2, 2))
+
+    cfg = ConvexAdamConfig(
+        grid_sp=3, disp_hw=2, lambda_weight=1.0, selected_niter=30,
+        grid_sp_adam=2,
+    )
+    disp = convex_adam_semantic_from_images(
+        fixed_img, moving_img, predict, patch_size=(16, 16, 16),
+        cfg=cfg, normalize=False,
+    )
+    assert disp.shape == (32, 32, 32, 3)
+
+    warped = np.asarray(
+        warp_with_displacement(
+            jnp.asarray(moving_seg, jnp.float32)[None],
+            jnp.moveaxis(jnp.asarray(disp), -1, 0),
+            mode="nearest",
+        )[0]
+    ).round().astype(np.int32)
+    d0 = float(
+        np.asarray(dice_coeff(jnp.asarray(fixed_seg), jnp.asarray(moving_seg), 2)).mean()
+    )
+    d1 = float(
+        np.asarray(dice_coeff(jnp.asarray(fixed_seg), jnp.asarray(warped), 2)).mean()
+    )
+    assert d1 > d0 + 0.1, (d0, d1)

@@ -51,6 +51,10 @@ def main(argv=None):
         "--setting_batch", type=int, default=None,
         help="settings per vmapped batch (default: #setting-shards)",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the sweep-state checkpoint (skips completed settings)",
+    )
     args = parser.parse_args(argv)
 
     with open(args.configfile) as f:
@@ -79,7 +83,7 @@ def main(argv=None):
         res = run_stage1_sweep(
             preds, segs, pairs, settings, num_labels, verbose=args.verbose,
             checkpoint_path=config["output"],
-            mesh=mesh, setting_batch=args.setting_batch,
+            mesh=mesh, setting_batch=args.setting_batch, resume=args.resume,
         )
         np.savez(
             config["output"],
@@ -101,7 +105,7 @@ def main(argv=None):
             preds, segs, pairs, convex, adam_settings, num_labels,
             verbose=args.verbose,
             checkpoint_path=config.get("output_adam", config["output"]),
-            mesh=mesh, setting_batch=args.setting_batch,
+            mesh=mesh, setting_batch=args.setting_batch, resume=args.resume,
         )
         np.savez(
             config.get("output_adam", config["output"]),

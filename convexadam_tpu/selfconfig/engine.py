@@ -44,6 +44,7 @@ from convexadam_tpu.core.warp import (
     warp_with_displacement,
 )
 from convexadam_tpu.parallel.distributed import make_global as _mg
+from convexadam_tpu.selfconfig.checkpoint import SweepCheckpointer
 from convexadam_tpu.selfconfig.settings import (
     STAGE2_SNAPSHOT_ITERS,
     Stage1Setting,
@@ -247,6 +248,7 @@ def run_stage1_sweep(
     checkpoint_path=None,
     mesh: Optional[Mesh] = None,
     setting_batch: Optional[int] = None,
+    resume: bool = False,
 ) -> SweepResult:
     """Stage-1 semantic sweep (convex_run_withconfig.py:78-172).
 
@@ -290,6 +292,16 @@ def run_stage1_sweep(
     hd = np.zeros(S)
     times = np.zeros(S)
 
+    ck = SweepCheckpointer(checkpoint_path) if checkpoint_path is not None else None
+    completed: set = set()
+    if ck is not None and resume:
+        st = ck.restore()
+        if st is not None and "completed" in st and st["dice"].shape == dice.shape:
+            dice[:], jstd[:], hd[:], times[:] = (
+                st["dice"], st["jstd"], st["hd95"], st["times"]
+            )
+            completed = {int(i) for i in st["completed"]}
+
     def make_fn(grid_sp: int, disp_hw: int):
         def pair_fn(pf, pm, sf, sm, nn_mult):
             disp_hr = convex_field_semantic(
@@ -312,11 +324,12 @@ def run_stage1_sweep(
         )
 
     compiled = {}  # (grid_sp, disp_hw) → compiled fn
-    done = 0
     chunks = _chunked_setting_groups(
         settings, lambda st: (st.grid_sp, st.disp_hw), setting_batch
     )
     for key, idxs in chunks:
+        if completed.issuperset(idxs):
+            continue  # resume: this batch is already in the checkpoint
         if key not in compiled:
             compiled[key] = make_fn(*key)
         mults = _pad_axis0(
@@ -358,9 +371,10 @@ def run_stage1_sweep(
                     f"s={s} {st} dice={dice[s,0]:.4f}/{dice[s,1]:.4f} "
                     f"jstd={jstd[s,0]:.4f} hd95={hd[s]:.3f} t={times[s]:.2f}s"
                 )
-        done += len(idxs)
-        if checkpoint_path is not None:
-            np.savez(checkpoint_path, dice=dice, jstd=jstd, hd95=hd, times=times, done=done - 1)
+        completed.update(int(i) for i in idxs)
+        if ck is not None:
+            ck.save(dict(dice=dice, jstd=jstd, hd95=hd, times=times,
+                         completed=np.array(sorted(completed), np.int64)))
 
     # sort_rank gives rank 1.0 to the SMALLEST value → negate
     # higher-is-better metrics (convex_run_withconfig.py:162-169).  HD95 only
@@ -463,6 +477,7 @@ def run_stage2_sweep(
     checkpoint_path=None,
     mesh: Optional[Mesh] = None,
     setting_batch: Optional[int] = None,
+    resume: bool = False,
 ) -> SweepResult:
     """Stage-2 semantic sweep: cache best-convex fields (pass A), then sweep
     Adam settings x 16 evaluation variants (pass B), rank over the flattened
@@ -518,6 +533,16 @@ def run_stage2_sweep(
     hd = np.zeros((S, 4, 4))
     times = np.zeros(S)
 
+    ck = SweepCheckpointer(checkpoint_path) if checkpoint_path is not None else None
+    completed: set = set()
+    if ck is not None and resume:
+        st = ck.restore()
+        if st is not None and "completed" in st and st["dice"].shape == dice.shape:
+            dice[:], jstd[:], hd[:], times[:] = (
+                st["dice"], st["jstd"], st["hd95"], st["times"]
+            )
+            completed = {int(i) for i in st["completed"]}
+
     def make_fn(grid_sp_adam: int, avg_n: int):
         def pair_fn(pf, pm, sf, sm, dl, mult, lw):
             dice_g, js_g, nf_g, sw_g = _stage2_pair(
@@ -541,13 +566,14 @@ def run_stage2_sweep(
         )
 
     compiled = {}
-    done = 0
     chunks = _chunked_setting_groups(
         adam_settings,
         lambda st: (st.grid_sp_adam, st.effective_avg_n),
         setting_batch,
     )
     for key, idxs in chunks:
+        if completed.issuperset(idxs):
+            continue  # resume: this batch is already in the checkpoint
         if key not in compiled:
             compiled[key] = make_fn(*key)
         lws = _pad_axis0(
@@ -598,9 +624,10 @@ def run_stage2_sweep(
                     f"s={s} {st} best dice={dice[s,...,0].max():.4f} "
                     f"t={times[s]:.2f}s"
                 )
-        done += len(idxs)
-        if checkpoint_path is not None:
-            np.savez(checkpoint_path, dice=dice, jstd=jstd, hd95=hd, times=times, done=done - 1)
+        completed.update(int(i) for i in idxs)
+        if ck is not None:
+            ck.save(dict(dice=dice, jstd=jstd, hd95=hd, times=times,
+                         completed=np.array(sorted(completed), np.int64)))
 
     flat_dice = dice[..., 0].reshape(-1)
     flat_drob = dice[..., 1].reshape(-1)

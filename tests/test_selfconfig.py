@@ -192,6 +192,53 @@ def test_stage2_rank_invariant_to_setting_order_without_hd95():
     np.testing.assert_allclose(rank_rev_as_fwd, res_fwd.rank, atol=0.05)
 
 
+def test_sweep_checkpoint_resume(tmp_path):
+    """Orbax-backed checkpoint/resume: a resumed sweep must skip completed
+    setting batches (proved by swapping the input data after the first run —
+    resumed metrics keep the checkpointed values) and produce the same
+    result as an uninterrupted run."""
+    preds, segs = _synthetic_dataset()
+    pairs = [(0, 1)]
+    settings = [
+        Stage1Setting(nn_mult=10, grid_sp=3, disp_hw=2),
+        Stage1Setting(nn_mult=10, grid_sp=4, disp_hw=3),
+    ]
+    ckpt = tmp_path / "sweep_state"
+    ref = run_stage1_sweep(
+        preds, segs, pairs, settings, num_labels=2, compute_hd95=False,
+        checkpoint_path=ckpt,
+    )
+    # resuming with DIFFERENT (garbage) inputs must not recompute anything
+    garbage = np.roll(preds, 7, axis=1)
+    res = run_stage1_sweep(
+        garbage, segs, pairs, settings, num_labels=2, compute_hd95=False,
+        checkpoint_path=ckpt, resume=True,
+    )
+    np.testing.assert_allclose(res.dice, ref.dice, atol=0)
+    np.testing.assert_allclose(res.jstd, ref.jstd, atol=0)
+    assert res.best == ref.best
+    # without resume, the garbage inputs change the metrics (sanity)
+    res2 = run_stage1_sweep(
+        garbage, segs, pairs, settings, num_labels=2, compute_hd95=False,
+    )
+    assert not np.allclose(res2.dice, ref.dice)
+
+    # partial checkpoint: keep only setting 0 completed → setting 1 recomputed
+    from convexadam_tpu.selfconfig.checkpoint import SweepCheckpointer
+
+    ck = SweepCheckpointer(ckpt)
+    st = ck.restore()
+    st["completed"] = np.array([0], np.int64)
+    st["dice"] = np.array(st["dice"])
+    st["dice"][1] = -1  # poison the un-completed row
+    ck.save(st)
+    res3 = run_stage1_sweep(
+        preds, segs, pairs, settings, num_labels=2, compute_hd95=False,
+        checkpoint_path=ckpt, resume=True,
+    )
+    np.testing.assert_allclose(res3.dice, ref.dice, atol=1e-12)
+
+
 def test_paired_sweeps_end_to_end():
     """Paired MIND sweeps (stage 1 + stage 2) on a tiny synthetic lung-like
     case with keypoints."""

@@ -32,16 +32,26 @@ def convex_adam_from_files(
     path_fixed_mask=None,
     path_moving_mask=None,
     result_path="./",
-    dtype: str = "float32",
+    dtype: str = "auto",
     verbose: bool = False,
-) -> Path:
-    """File-level pipeline (reference ``convex_adam``, convex_adam_MIND.py:205-248)."""
+    multi_iters: "tuple[int, ...] | None" = None,
+    multi_smoothings: "tuple[int, ...] | None" = None,
+) -> "Path | list[Path]":
+    """File-level pipeline (reference ``convex_adam``, convex_adam_MIND.py:205-248).
+
+    With ``multi_iters``/``multi_smoothings`` one run emits every
+    (iteration count x post-smoothing) variant from a single Adam
+    optimisation — the self-configuring multi-output runner
+    (self_configuring/convex_adam_MIND.py:115-147) — as
+    ``disp_{it}_{sm}.nii.gz`` files.
+    """
     import jax.numpy as jnp
 
     from convexadam_tpu.geometry.io import load_volume_nib_order, save_volume_nib_order
     from convexadam_tpu.pipeline.convex_adam import (
         ConvexAdamConfig,
         convex_adam_features,
+        convex_adam_multi_output,
     )
     from convexadam_tpu.core.features import mindssc
     from convexadam_tpu.pipeline.preprocess import mask_infill
@@ -72,8 +82,27 @@ def convex_adam_from_files(
         moving = mask_infill(moving, np.asarray(mask_moving, np.float32))
 
     dt = cfg.compute_dtype
-    feat_fix = mindssc(jnp.asarray(fixed), cfg.mind_r, cfg.mind_d).astype(dt)
-    feat_mov = mindssc(jnp.asarray(moving), cfg.mind_r, cfg.mind_d).astype(dt)
+    feat_fix = mindssc(jnp.asarray(fixed), cfg.mind_r, cfg.mind_d, dtype=dt)
+    feat_mov = mindssc(jnp.asarray(moving), cfg.mind_r, cfg.mind_d, dtype=dt)
+
+    if multi_iters:
+        smoothings = tuple(multi_smoothings or (0, 3, 5))
+        fields = np.asarray(
+            convex_adam_multi_output(
+                feat_fix, feat_mov, cfg, tuple(multi_iters), smoothings
+            ),
+            np.float32,
+        )
+        if verbose:
+            print(f"case time: {time.time() - t0}")
+        written = []
+        for a, it in enumerate(multi_iters):
+            for b, sm in enumerate(smoothings):
+                out = Path(result_path) / f"disp_{it}_{sm}.nii.gz"
+                save_volume_nib_order(fields[a, b], affine, out)
+                written.append(out)
+        return written
+
     disp = np.asarray(convex_adam_features(feat_fix, feat_mov, cfg), np.float32)
 
     if verbose:
@@ -101,8 +130,21 @@ def main(argv=None):
     parser.add_argument("--path_mask_fixed", type=str, default=None)
     parser.add_argument("--path_mask_moving", type=str, default=None)
     parser.add_argument("--result_path", type=str, default="./")
-    parser.add_argument("--dtype", type=str, default="float32", choices=("float32", "bfloat16"))
+    parser.add_argument(
+        "--dtype", type=str, default="auto",
+        choices=("auto", "float32", "bfloat16"),
+        help="'auto' = bfloat16 on TPU, float32 elsewhere",
+    )
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument(
+        "--multi_iters", type=str, default=None,
+        help="comma list, e.g. 40,60,80: emit every (iters x smoothing) "
+        "variant from one run (the 9-variant self-configuring runner)",
+    )
+    parser.add_argument(
+        "--multi_smoothings", type=str, default="0,3,5",
+        help="comma list of post-smoothing cascades for --multi_iters",
+    )
     args = parser.parse_args(argv)
 
     os.makedirs(args.result_path, exist_ok=True)
@@ -124,6 +166,14 @@ def main(argv=None):
         result_path=args.result_path,
         dtype=args.dtype,
         verbose=args.verbose,
+        multi_iters=(
+            tuple(int(x) for x in args.multi_iters.split(","))
+            if args.multi_iters
+            else None
+        ),
+        multi_smoothings=tuple(
+            int(x) for x in args.multi_smoothings.split(",")
+        ),
     )
     print(f"wrote {out}")
 

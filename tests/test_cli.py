@@ -89,3 +89,37 @@ def test_register_apply_cli_roundtrip(tmp_path):
         warped[c:-c, c:-c, c:-c].ravel(), vol[c:-c, c:-c, c:-c].ravel()
     )[0, 1]
     assert corr > 0.95
+
+
+def test_register_cli_multi_output(tmp_path):
+    """--multi_iters emits every (iters x smoothing) variant from one run
+    (the self-configuring 9-variant runner,
+    self_configuring/convex_adam_MIND.py:115-147)."""
+    from scipy.ndimage import uniform_filter
+
+    from convexadam_tpu.cli import register
+
+    rng = np.random.default_rng(0)
+    vol = uniform_filter(rng.standard_normal((32, 32, 32)).astype(np.float32), 2) * 100
+    mov = np.roll(vol, (2, -1, 1), axis=(0, 1, 2))
+    affine = np.eye(4)
+    save_volume_nib_order(vol, affine, tmp_path / "fixed.nii.gz")
+    save_volume_nib_order(mov, affine, tmp_path / "moving.nii.gz")
+
+    register.main([
+        "-f", str(tmp_path / "fixed.nii.gz"),
+        "-m", str(tmp_path / "moving.nii.gz"),
+        "--grid_sp", "3", "--disp_hw", "2", "--grid_sp_adam", "2",
+        "--multi_iters", "10,20", "--multi_smoothings", "0,3",
+        "--result_path", str(tmp_path / "out"),
+    ])
+    written = sorted((tmp_path / "out").glob("disp_*.nii.gz"))
+    assert [p.name for p in written] == [
+        "disp_10_0.nii.gz", "disp_10_3.nii.gz",
+        "disp_20_0.nii.gz", "disp_20_3.nii.gz",
+    ]
+    d20, _ = load_volume_nib_order(tmp_path / "out" / "disp_20_0.nii.gz")
+    assert d20.shape == (32, 32, 32, 3)
+    c = 10
+    err = np.abs(np.asarray(d20)[c:-c, c:-c, c:-c] - np.array([2, -1, 1], np.float32))
+    assert np.mean(np.all(err < 1.0, axis=-1)) > 0.8

@@ -36,6 +36,7 @@ from convexadam_tpu.core.smoothing import (
 )
 from convexadam_tpu.core.warp import (
     build_corner_stack,
+    warp_ssd_loss_and_grad,
     warp_ssd_mean_loss,
 )
 
@@ -103,6 +104,41 @@ def _loss_fn(
     return data + reg, disp_sample
 
 
+def _grad_step_autodiff(
+    weight, feat_fix, feat_mov_stack, feat_mov_shape, lambda_weight,
+    smooth_fn, cost_scale,
+):
+    (_, ds), g = jax.value_and_grad(_loss_fn, has_aux=True)(
+        weight, feat_fix, feat_mov_stack, feat_mov_shape, lambda_weight,
+        smooth_fn, cost_scale,
+    )
+    return ds, g
+
+
+def _grad_step_explicit(
+    weight, fix_flat, feat_mov_stack, feat_mov_shape, lambda_weight,
+    smooth_fn, cost_scale, interpret=False,
+):
+    """One gradient evaluation with the chain rule composed by hand.
+
+    Mathematically identical to :func:`_grad_step_autodiff`, but the data
+    term goes through :func:`warp_ssd_loss_and_grad` (the fused Pallas
+    kernel returns the displacement gradient directly) while only the cheap
+    smoother/regularizer factors use ``jax.vjp`` — avoiding the
+    ``custom_vjp`` call boundary that costs ~1.3 ms/iter at 96³ on TPU
+    (sub-jaxpr DCE/fusion barrier, see warp.py:warp_ssd_loss_and_grad).
+    """
+    ds, vjp_smooth = jax.vjp(smooth_fn, weight)
+    _, vjp_reg = jax.vjp(diffusion_regularizer, ds)
+    _, d_data = warp_ssd_loss_and_grad(
+        feat_mov_stack, feat_mov_shape, ds, fix_flat, cost_scale,
+        interpret=interpret,
+    )
+    (d_reg,) = vjp_reg(jnp.asarray(lambda_weight, ds.dtype))
+    (g,) = vjp_smooth(d_data + d_reg)
+    return ds, g
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("niter", "snapshot_iters", "smoother"),
@@ -156,7 +192,29 @@ def adam_instance_optimisation(
     opt = optax.adam(learning_rate=1.0, b1=0.9, b2=0.999, eps=1e-8)
     opt_state = opt.init(w0)
 
-    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+    C = feat_mov_shape[0]
+    n_pts = int(feat_mov_shape[1] * feat_mov_shape[2] * feat_mov_shape[3])
+    use_explicit = False
+    if jax.default_backend() == "tpu":
+        from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
+            corner_reduce_supported,
+        )
+
+        use_explicit = corner_reduce_supported(n_pts)
+    if use_explicit:
+        fix_flat = feat_fix.reshape(C, -1)
+
+        def grad_fn(w):
+            return _grad_step_explicit(
+                w, fix_flat, feat_mov_stack, feat_mov_shape, lambda_weight,
+                smooth_fn, cost_scale,
+            )
+    else:
+        def grad_fn(w):
+            return _grad_step_autodiff(
+                w, feat_fix, feat_mov_stack, feat_mov_shape, lambda_weight,
+                smooth_fn, cost_scale,
+            )
 
     n_snap = len(snapshot_iters)
     snaps0 = jnp.zeros((max(n_snap, 1),) + w0.shape, jnp.float32)
@@ -167,10 +225,7 @@ def adam_instance_optimisation(
 
     def step(carry, it):
         w, st, snaps, _ = carry
-        (_, ds), g = grad_fn(
-            w, feat_fix, feat_mov_stack, feat_mov_shape, lambda_weight,
-            smooth_fn, cost_scale,
-        )
+        ds, g = grad_fn(w)
         updates, st = opt.update(g, st, w)
         w_new = optax.apply_updates(w, updates)
         if n_snap:

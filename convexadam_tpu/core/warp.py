@@ -511,21 +511,59 @@ def warp_with_displacement_stacked(
 # fused data-term loss (Adam loop): warp + SSD + reductions in the kernels
 # ---------------------------------------------------------------------------
 
+def _stacked_mse_rows(disp, align_corners, vol_shape):
+    """Per-axis absolute sample coordinates for the fused data-term path.
+
+    The public sampler convention (torch parity) builds a normalized grid
+    ``g = id + disp/((size-1)/2)`` and unnormalizes with the ``size/2``
+    (align_corners=False) factors; composing the two gives the absolute
+    voxel position ``pos_axis = index_axis + disp_axis * size/(size-1)``
+    (exactly 1 for align_corners=True).  Working per-axis in (n,)-row layout
+    keeps the lane dimension wide — the (n, 3) grid array (lane dim 3,
+    padded to 128 on TPU) forced ~1.4 ms/iter of relayout copies at 96³.
+    """
+    _, H, W, D = vol_shape
+    d = disp.astype(jnp.float32).reshape(3, -1)
+    if align_corners:
+        fac = (1.0, 1.0, 1.0)
+    else:
+        fac = (H / (H - 1.0), W / (W - 1.0), D / (D - 1.0))
+    ii = jnp.broadcast_to(
+        jnp.arange(H, dtype=jnp.float32)[:, None, None], (H, W, D)
+    ).reshape(-1)
+    jj = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.float32)[None, :, None], (H, W, D)
+    ).reshape(-1)
+    kk = jnp.broadcast_to(
+        jnp.arange(D, dtype=jnp.float32)[None, None, :], (H, W, D)
+    ).reshape(-1)
+    px = ii + d[0] * fac[0]
+    py = jj + d[1] * fac[1]
+    pz = kk + d[2] * fac[2]
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    z0 = jnp.floor(pz)
+    fracs = (px - x0, py - y0, pz - z0)
+    bases = (
+        x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32)
+    )
+    return fracs, bases, fac
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _stacked_mse(vol8, g, fix_flat, cost_scale, align_corners, vol_shape):
+def _stacked_mse(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape):
     loss, _ = _stacked_mse_fwd(
-        vol8, g, fix_flat, cost_scale, align_corners, vol_shape
+        vol8, disp, fix_flat, cost_scale, align_corners, vol_shape
     )
     return loss
 
 
-def _stacked_mse_fwd(vol8, g, fix_flat, cost_scale, align_corners, vol_shape):
-    from convexadam_tpu.ops.warp_pallas import corner_reduce_fwd_res
+def _stacked_mse_fwd(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape):
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_loss_grad
 
     C, H, W, D = vol_shape
-    compute_dtype = jnp.promote_types(vol8.dtype, g.dtype)
-    gc = g.astype(compute_dtype)
-    _, fracs, bases = _gs_coords((C, H, W, D), gc, align_corners, "zeros")
+    n = H * W * D
+    fracs, bases, fac = _stacked_mse_rows(disp, align_corners, vol_shape)
     x0i, y0i, z0i = bases
     xb = jnp.clip(x0i + 1, 0, H)
     yb = jnp.clip(y0i + 1, 0, W)
@@ -534,44 +572,44 @@ def _stacked_mse_fwd(vol8, g, fix_flat, cost_scale, align_corners, vol_shape):
     vol8_flat = vol8.reshape(8 * C, -1)
     block = jnp.take(vol8_flat, lax.optimization_barrier(lin), axis=1)
     block = lax.optimization_barrier(block)
-    res, ssq = corner_reduce_fwd_res(
-        block, fracs, bases, fix_flat.astype(jnp.float32), vol_shape
+    # the VJP w.r.t. the displacement is linear in the (scalar) loss
+    # cotangent, so the whole coordinate gradient is computed in the SAME
+    # kernel pass that reduces the loss — the backward pass only scales it.
+    # One HBM read of the 170 MB gathered block per iteration instead of two.
+    chain0 = 2.0 * jnp.asarray(cost_scale, jnp.float32) / (C * n)
+    ssq, dg3 = corner_reduce_loss_grad(
+        block, fracs, bases, fix_flat.astype(jnp.float32), chain0, vol_shape
     )
-    n = g.shape[0]
     ssq_total = jnp.sum(ssq)
     loss = ssq_total * (cost_scale / (C * n))
+    ddisp_pre = jnp.concatenate(
+        [dg3[0:1] * fac[0], dg3[1:2] * fac[1], dg3[2:3] * fac[2]]
+    ).reshape(disp.shape)
     return loss, (
-        block, g, res, cost_scale, ssq_total, jnp.zeros((0,), vol8.dtype)
+        ddisp_pre, block, disp, fix_flat, cost_scale, ssq_total,
+        jnp.zeros((0,), vol8.dtype),
     )
 
 
 def _stacked_mse_bwd(align_corners, vol_shape, resids, ctl):
-    from convexadam_tpu.ops.warp_pallas import corner_reduce_bwd
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_fwd
 
-    block, g, res, cost_scale, ssq_total, vol8_token = resids
+    ddisp_pre, block, disp, fix_flat, cost_scale, ssq_total, vol8_token = (
+        resids
+    )
     C, H, W, D = vol_shape
-    n = g.shape[0]
-    gc = g.astype(jnp.float32)
-    _, fracs, bases = _gs_coords((C, H, W, D), gc, align_corners, "zeros")
+    n = H * W * D
+    ddisp = (ctl.astype(jnp.float32) * ddisp_pre).astype(disp.dtype)
+    # vol8/fix cotangents are lazy recomputes (DCE'd by jax/XLA in the Adam
+    # loop, where both are loop constants and only the grid is differentiated)
+    dvol8 = jnp.zeros((8, C, H + 1, W + 1, D + 1), vol8_token.dtype)
+    fracs, bases, _ = _stacked_mse_rows(disp, align_corners, vol_shape)
+    warped = corner_reduce_fwd(block, fracs, bases, (C, H, W, D))
+    res = warped - fix_flat.astype(jnp.float32)
     chain = ctl * (2.0 * cost_scale / (C * n))
-    dg3 = corner_reduce_bwd(
-        block, res, fracs, bases, (C, H, W, D), scale=chain
-    )
-    if align_corners:
-        sc = ((H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0)
-    else:
-        sc = (H / 2.0, W / 2.0, D / 2.0)
-    dg = jnp.stack(
-        [dg3[0] * sc[0], dg3[1] * sc[1], dg3[2] * sc[2]], axis=1
-    ).astype(g.dtype)
-    # vol8/fix cotangents are lazy (DCE'd in the Adam loop where both are
-    # loop constants)
-    dvol8 = jnp.zeros(
-        (8, C, H + 1, W + 1, D + 1), vol8_token.dtype
-    )
     dfix = (-chain) * res
     dcost = ctl * ssq_total / (C * n)
-    return dvol8, dg, dfix, dcost
+    return dvol8, ddisp, dfix, dcost
 
 
 _stacked_mse.defvjp(_stacked_mse_fwd, _stacked_mse_bwd)
@@ -595,13 +633,7 @@ def warp_ssd_mean_loss(
     composition of the stacked sampler with the XLA reductions.
     """
     C, H, W, D = vol_shape
-    scale = jnp.array(
-        [(H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0], dtype=disp_voxels.dtype
-    ).reshape(3, 1, 1, 1)
-    grid = identity_grid_normalized((H, W, D), align_corners, disp_voxels.dtype)
-    grid = grid + jnp.moveaxis(disp_voxels / scale, 0, -1)
-    g = grid.reshape(-1, 3)
-    n = g.shape[0]
+    n = H * W * D
     if jax.default_backend() == "tpu":
         from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
             corner_reduce_supported,
@@ -609,14 +641,69 @@ def warp_ssd_mean_loss(
 
         if corner_reduce_supported(n):
             return _stacked_mse(
-                vol8, g, feat_fix.reshape(C, -1).astype(jnp.float32),
+                vol8, disp_voxels, feat_fix.reshape(C, -1).astype(jnp.float32),
                 cost_scale, align_corners, vol_shape,
             )
+    scale = jnp.array(
+        [(H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0], dtype=disp_voxels.dtype
+    ).reshape(3, 1, 1, 1)
+    grid = identity_grid_normalized((H, W, D), align_corners, disp_voxels.dtype)
+    grid = grid + jnp.moveaxis(disp_voxels / scale, 0, -1)
+    g = grid.reshape(-1, 3)
     warped = _grid_sample_stacked(vol8, g, align_corners, vol_shape).reshape(
         (C, H, W, D)
     )
     cost = jnp.mean((warped - feat_fix) ** 2, axis=0) * cost_scale
     return jnp.mean(cost)
+
+
+def warp_ssd_loss_and_grad(
+    vol8: jax.Array,
+    vol_shape: tuple[int, int, int, int],
+    disp_voxels: jax.Array,
+    fix_flat: jax.Array,
+    cost_scale,
+    align_corners: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Adam data term AND its displacement gradient, explicitly composed.
+
+    Returns ``(loss, dloss/ddisp)`` with identical numerics to
+    ``jax.grad(warp_ssd_mean_loss)`` on the fused TPU path, but WITHOUT the
+    ``custom_vjp`` call boundary: measured on the ¼-v5e at 96³×12, routing
+    the same ops through ``custom_vjp`` costs +1.3 ms/iter even for the
+    primal alone (the call sub-jaxpr hides the shared coordinate/gather ops
+    from DCE/fusion inside the scan body).  The Adam instance loop
+    (core/adam.py) uses this together with explicit ``jax.vjp`` of the
+    smoother and regularizer instead of differentiating the whole loss.
+
+    Only valid on the fused path — callers must check
+    ``corner_reduce_supported(H*W*D)`` and the TPU backend first.
+    """
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_loss_grad
+
+    C, H, W, D = vol_shape
+    n = H * W * D
+    fracs, bases, fac = _stacked_mse_rows(
+        disp_voxels, align_corners, vol_shape
+    )
+    x0i, y0i, z0i = bases
+    xb = jnp.clip(x0i + 1, 0, H)
+    yb = jnp.clip(y0i + 1, 0, W)
+    zb = jnp.clip(z0i + 1, 0, D)
+    lin = (xb * (W + 1) + yb) * (D + 1) + zb
+    vol8_flat = vol8.reshape(8 * C, -1)
+    block = jnp.take(vol8_flat, lax.optimization_barrier(lin), axis=1)
+    block = lax.optimization_barrier(block)
+    chain0 = 2.0 * jnp.asarray(cost_scale, jnp.float32) / (C * n)
+    ssq, dg3 = corner_reduce_loss_grad(
+        block, fracs, bases, fix_flat, chain0, vol_shape, interpret=interpret
+    )
+    loss = jnp.sum(ssq) * (cost_scale / (C * n))
+    ddisp = jnp.concatenate(
+        [dg3[0:1] * fac[0], dg3[1:2] * fac[1], dg3[2:3] * fac[2]]
+    ).reshape(disp_voxels.shape)
+    return loss, ddisp
 
 
 def warp_with_displacement(

@@ -16,6 +16,11 @@ over the block:
 * backward: ``cv[k, n] = Σ_c ct[c, n]·block[kC+c, n]`` reduced straight into
   the three coordinate-gradient rows (the ``dxs/dys/dzs`` accumulation of
   core/warp.py:_gs_stacked_bwd) in the same pass.
+* fused loss+grad (``corner_reduce_loss_grad``): the Adam data term's VJP
+  w.r.t. the sample grid is *linear in the scalar loss cotangent*, so the
+  loss partials AND the pre-scaled coordinate-gradient rows come out of ONE
+  kernel at forward time — the block is read from HBM once per iteration
+  instead of twice, and the (C, N) residual array never round-trips HBM.
 
 Reference hot loop: src/convexAdam/convex_adam_MIND.py:147-191.
 """
@@ -99,11 +104,20 @@ def corner_reduce_fwd(
     )(block, fr, base)
 
 
-def _fwd_res_kernel(
-    block_ref, fr_ref, base_ref, fix_ref, res_ref, ssq_ref, *, C, H, W, D
+def _fused_loss_kernel(
+    block_ref, fr_ref, base_ref, fix_ref, chain_ref, ssq_ref, dg_ref,
+    *, C, H, W, D
 ):
-    """Forward reduce fused with the SSD data term: writes the residual
-    ``res = Σ_k w_k·block_k − fix`` and this tile's ``Σ res²`` partial."""
+    """SSD data term AND its coordinate gradient in ONE read of ``block``.
+
+    Pass 1 (corners 0..7): residual ``res = Σ_k w_k·block_k − fix`` and this
+    tile's ``Σ res²`` partial.  Pass 2 (same VMEM-resident corners): the
+    dxs/dys/dzs coordinate-gradient rows with the MSE chain factor
+    ``chain = 2·cost_scale/(C·N)`` already folded in.  The backward pass of
+    the sampler is linear in the loss cotangent, so the VJP only has to
+    scale these rows — the separate backward kernel (and its second 170 MB
+    HBM read of the gathered block at 96³×12) disappears from the Adam loop.
+    """
     fx, fy, fz = fr_ref[0:1, :], fr_ref[1:2, :], fr_ref[2:3, :]
     x0, y0, z0 = base_ref[0:1, :], base_ref[1:2, :], base_ref[2:3, :]
     wx = (1.0 - fx, fx)
@@ -124,35 +138,59 @@ def _fwd_res_kernel(
                 acc = term if acc is None else acc + term
                 k += 1
     res = acc - fix_ref[:].astype(jnp.float32)
-    res_ref[:] = res
     # ssq_ref is the full (n_tiles, 1) SMEM array; each program writes its
     # own slot (Mosaic only allows SMEM blocks covering the whole array)
     ssq_ref[pl.program_id(0), 0] = jnp.sum(res * res)
+    ct = res * chain_ref[0, 0]  # (C, TN)
+    dxs = dys = dzs = None
+    k = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                m = (vx[dx] & vy[dy] & vz[dz]).astype(jnp.float32)
+                blk = block_ref[k * C:(k + 1) * C, :].astype(jnp.float32)
+                cv = jnp.sum(ct * blk, axis=0, keepdims=True)  # (1, TN)
+                sx = 1.0 if dx else -1.0
+                sy = 1.0 if dy else -1.0
+                sz = 1.0 if dz else -1.0
+                tx = cv * (sx * wy[dy] * wz[dz] * m)
+                ty = cv * (wx[dx] * sy * wz[dz] * m)
+                tz = cv * (wx[dx] * wy[dy] * sz * m)
+                if k == 0:
+                    dxs, dys, dzs = tx, ty, tz
+                else:
+                    dxs, dys, dzs = dxs + tx, dys + ty, dzs + tz
+                k += 1
+    dg_ref[0:1, :] = dxs
+    dg_ref[1:2, :] = dys
+    dg_ref[2:3, :] = dzs
 
 
 @functools.partial(jax.jit, static_argnames=("vol_shape", "interpret"))
-def corner_reduce_fwd_res(
+def corner_reduce_loss_grad(
     block: jax.Array,
     fracs: tuple,
     bases: tuple,
     fix_flat: jax.Array,
+    chain: jax.Array,
     vol_shape: tuple,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused sample+residual: returns (res (C, N) f32, per-tile ssq partials
-    (n_tiles, 1) f32) where ``res = warp(stack) − fix``."""
+    """Fused data term: returns (per-tile ssq partials (n_tiles, 1) f32,
+    coordinate-gradient rows dg3 (3, N) f32 pre-scaled by ``chain``)."""
     C8, n = block.shape
     C = C8 // 8
     _, H, W, D = vol_shape
     TN = _pick_tn(n)
     fr = jnp.stack([f.astype(jnp.float32) for f in fracs])
     base = jnp.stack([b.astype(jnp.int32) for b in bases])
-    kernel = functools.partial(_fwd_res_kernel, C=C, H=H, W=W, D=D)
+    chain_arr = jnp.asarray(chain, jnp.float32).reshape(1, 1)
+    kernel = functools.partial(_fused_loss_kernel, C=C, H=H, W=W, D=D)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((C, n), jnp.float32),
             jax.ShapeDtypeStruct((n // TN, 1), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
         ),
         grid=(n // TN,),
         in_specs=[
@@ -160,15 +198,16 @@ def corner_reduce_fwd_res(
             pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((C, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (n // TN, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(block, fr, base, fix_flat)
+    )(block, fr, base, fix_flat, chain_arr)
 
 
 def _bwd_kernel(

@@ -28,6 +28,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # function-scoped and seeded per test name (stable across processes —
+    # builtin hash() is salted): every test sees the same draws regardless
+    # of which other tests ran before it (a session-scoped stream made
+    # tolerances silently order-dependent)
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.name.encode()))

@@ -201,10 +201,7 @@ def test_fused_mse_loss_value_and_grad_match_xla(rng):
         identity_grid_normalized,
         warp_with_displacement_stacked,
     )
-    from convexadam_tpu.ops.warp_pallas import (
-        corner_reduce_bwd,
-        corner_reduce_fwd_res,
-    )
+    from convexadam_tpu.ops.warp_pallas import corner_reduce_loss_grad
 
     C, H, W, D = 3, 8, 8, 8
     cost_scale = 7.0
@@ -235,29 +232,53 @@ def test_fused_mse_loss_value_and_grad_match_xla(rng):
     zb = jnp.clip(z0i + 1, 0, D)
     lin = (xb * (W + 1) + yb) * (D + 1) + zb
     block = jnp.take(stack.reshape(8 * C, -1), lin, axis=1)
-    res, ssq = corner_reduce_fwd_res(
-        block, fracs, bases, jnp.asarray(fix).reshape(C, -1), (C, H, W, D),
-        interpret=True,
+    chain = 2.0 * cost_scale / (C * n)
+    ssq, dg3 = corner_reduce_loss_grad(
+        block, fracs, bases, jnp.asarray(fix).reshape(C, -1),
+        jnp.float32(chain), (C, H, W, D), interpret=True,
     )
     val = float(jnp.sum(ssq) * (cost_scale / (C * n)))
     np.testing.assert_allclose(val, float(ref_val), rtol=1e-5)
 
-    chain = 2.0 * cost_scale / (C * n)
-    dg3 = corner_reduce_bwd(
-        block, res, fracs, bases, (C, H, W, D), scale=chain, interpret=True
-    )
-    # chain dg back to ddisp: dg rows scale by (n-1)/2 per axis, then the
-    # grid build divides disp by the same factors -> ddisp = dg3 * chain? No:
-    # d(loss)/d(disp) = d(loss)/dg * dg/ddisp; g = id + disp/scale per axis
-    # and the sampler bwd's dg already contains the (dim/2) normalisation
-    # factors, so ddisp_axis = dg_axis * ((H-1)/2 etc... ) / scale_axis = dg3
-    # row (the two factors cancel for align_corners-True-style /(n-1)/2).
-    sc = (H / 2.0, W / 2.0, D / 2.0)  # sampler ac=False factors
+    # dg3 comes out pre-scaled by the MSE chain factor; the absolute-voxel
+    # coordinate rows only need the size/(size-1) normalization-mismatch
+    # factor per axis (pos = i + disp*size/(size-1), see _stacked_mse_rows)
     dd = np.stack(
         [
-            np.asarray(dg3[0]) * sc[0] / ((H - 1) / 2.0),
-            np.asarray(dg3[1]) * sc[1] / ((W - 1) / 2.0),
-            np.asarray(dg3[2]) * sc[2] / ((D - 1) / 2.0),
+            np.asarray(dg3[0]) * (H / (H - 1.0)),
+            np.asarray(dg3[1]) * (W / (W - 1.0)),
+            np.asarray(dg3[2]) * (D / (D - 1.0)),
         ]
     ).reshape(3, H, W, D)
     np.testing.assert_allclose(dd, np.asarray(ref_grad), rtol=1e-4, atol=1e-5)
+
+
+def test_explicit_grad_step_matches_autodiff(rng):
+    """The TPU Adam loop's explicitly-composed gradient (_grad_step_explicit,
+    fused kernel + jax.vjp factors) must match jax.value_and_grad of the
+    full loss — same ds AND same weight gradient."""
+    from convexadam_tpu.core.adam import (
+        _grad_step_autodiff,
+        _grad_step_explicit,
+        resolve_smoother,
+    )
+    from convexadam_tpu.core.warp import build_corner_stack
+
+    C, H, W, D = 3, 8, 8, 8
+    fix = jnp.asarray(rng.standard_normal((C, H, W, D)).astype(np.float32))
+    mov = jnp.asarray(rng.standard_normal((C, H, W, D)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((3, H, W, D)) * 1.5).astype(np.float32))
+    stack = build_corner_stack(mov)
+    smooth_fn = resolve_smoother(("box", 3, 3))
+
+    ds_a, g_a = _grad_step_autodiff(
+        w, fix, stack, (C, H, W, D), 1.25, smooth_fn, 12.0
+    )
+    ds_e, g_e = _grad_step_explicit(
+        w, fix.reshape(C, -1), stack, (C, H, W, D), 1.25, smooth_fn, 12.0,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ds_e), np.asarray(ds_a), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_e), np.asarray(g_a), rtol=1e-4, atol=1e-6
+    )

@@ -50,6 +50,10 @@ class L2RTask:
     modality_moving: str = ""
     semantic_features: bool = False
     use_mask: bool = False
+    # "voxel" (array-index rows, the L2R CSV default) or "world" (mm rows in
+    # the image's physical space — converted through the inverse affine at
+    # load time).  Explicit config record, no path-convention guessing.
+    keypoint_space: str = "voxel"
     expected_shape: tuple[int, int, int] = (0, 0, 0)
     registration_val: list = dataclasses.field(default_factory=list)
     registration_test: list = dataclasses.field(default_factory=list)
@@ -66,6 +70,11 @@ class L2RTask:
         provided = data.get("provided_data", {})
         semantic = any("label" in v for v in provided.values())
         masks = any("mask" in v for v in provided.values())
+        kp_space = str(data.get("keypoint_space", "voxel")).lower()
+        if kp_space not in ("voxel", "world"):
+            raise ValueError(
+                f"keypoint_space must be 'voxel' or 'world', got {kp_space!r}"
+            )
 
         eval_cfg = task_dir / f"{task_name}_VAL_evaluation_config.json"
         methods = []
@@ -82,6 +91,7 @@ class L2RTask:
             modality_moving=modality_moving,
             semantic_features=semantic,
             use_mask=masks,
+            keypoint_space=kp_space,
             expected_shape=expected_shape,
             registration_val=data.get("registration_val", []),
             registration_test=data.get("registration_test", []),
@@ -176,6 +186,16 @@ def _load_case(task: L2RTask, pair: dict):
     if kf_path.exists() and km_path.exists():
         kf = np.loadtxt(kf_path, delimiter=",").reshape(-1, 3)
         km = np.loadtxt(km_path, delimiter=",").reshape(-1, 3)
+        if task.keypoint_space == "world":
+            # mm rows in physical space → voxel indices via the inverse
+            # affine (homogeneous); both images share the fixed grid in L2R
+            inv = np.linalg.inv(affine)
+            kf = kf @ inv[:3, :3].T + inv[:3, 3]
+            km = km @ inv[:3, :3].T + inv[:3, 3]
+
+    # per-axis voxel size from the affine columns — the official evaluator
+    # reports TRE in mm, not voxels
+    spacing = np.linalg.norm(affine[:3, :3], axis=0).astype(np.float32)
 
     if task.use_mask:
         mf, _ = load_volume_nib_order(
@@ -206,7 +226,7 @@ def _load_case(task: L2RTask, pair: dict):
         pred_f, pred_m = seg_f, seg_m
 
     return dict(
-        fixed=fixed, moving=moving, affine=affine,
+        fixed=fixed, moving=moving, affine=affine, spacing=spacing,
         kf=kf, km=km, seg_f=seg_f, seg_m=seg_m, num_labels=num_labels,
         pred_f=pred_f, pred_m=pred_m,
     )
@@ -295,6 +315,7 @@ def run_validation_grid(
                                     fields[a, b], case["seg_f"], case["seg_m"],
                                     case["num_labels"],
                                     kpts_fixed=case["kf"], kpts_moving=case["km"],
+                                    spacing=case["spacing"],
                                 )
                                 r = per_variant[vkey]
                                 if "dice" in m:

@@ -203,6 +203,51 @@ def test_keypoint_task_end_to_end(tmp_path):
     assert results[winner]["tre"].mean() < tre0  # beats identity TRE
 
 
+def test_world_keypoints_loaded_to_voxels(tmp_path):
+    """keypoint_space="world": mm CSV rows go through the inverse affine to
+    voxel indices at load time; spacing comes off the affine columns so TRE
+    is reported in mm (official-evaluator convention)."""
+    from convexadam_tpu.selfconfig.l2r import _load_case
+
+    task = tmp_path / "WorldKey"
+    (task / "images").mkdir(parents=True)
+    (task / "keypoints").mkdir()
+    rng = np.random.default_rng(5)
+    affine = np.diag([2.0, 2.0, 3.0, 1.0])  # anisotropic spacing
+    affine[:3, 3] = [-10.0, 4.0, 7.0]  # plus a world-origin offset
+    shape = (16, 16, 16)
+    vol = rng.standard_normal(shape).astype(np.float32)
+    save_volume_nib_order(vol, affine, task / "images" / "c0.nii.gz")
+    save_volume_nib_order(vol, affine, task / "images" / "c1.nii.gz")
+    kf_vox = np.array([[2.0, 3.0, 4.0], [5.0, 6.0, 7.0]], np.float64)
+    kf_world = kf_vox @ affine[:3, :3].T + affine[:3, 3]
+    np.savetxt(task / "keypoints" / "c0.csv", kf_world, delimiter=",")
+    np.savetxt(task / "keypoints" / "c1.csv", kf_world, delimiter=",")
+    with open(task / "WorldKey_dataset.json", "w") as f:
+        json.dump({
+            "modality": {"0": "CT"},
+            "provided_data": {"0": ["image", "keypoints"]},
+            "keypoint_space": "world",
+            "registration_val": [
+                {"fixed": "images/c0.nii.gz", "moving": "images/c1.nii.gz"},
+            ],
+            "registration_test": [],
+        }, f)
+
+    t = L2RTask.load(tmp_path, "WorldKey")
+    assert t.keypoint_space == "world"
+    case = _load_case(t, t.registration_val[0])
+    np.testing.assert_allclose(case["kf"], kf_vox, atol=1e-6)
+    np.testing.assert_allclose(case["spacing"], [2.0, 2.0, 3.0], atol=1e-6)
+
+    bad = json.loads((task / "WorldKey_dataset.json").read_text())
+    bad["keypoint_space"] = "parsec"
+    with open(task / "WorldKey_dataset.json", "w") as f:
+        json.dump(bad, f)
+    with pytest.raises(ValueError, match="keypoint_space"):
+        L2RTask.load(tmp_path, "WorldKey")
+
+
 def test_select_winner_tre_only():
     """Winner selection must work for keypoint-TRE tasks (no labels)."""
     rng = np.random.default_rng(0)

@@ -109,10 +109,10 @@ def mindssc(
         # fused Pallas pass: diffs + box filter + min/variance per VMEM tile
         # (the 12-channel volume is written once instead of streamed ~6x)
         from convexadam_tpu.ops.mind_pallas import (  # noqa: PLC0415
-            mind_ssd_stats_pallas,
+            mind_ssd_stats_batchable,
         )
 
-        mind, mind_var = mind_ssd_stats_pallas(x, radius, dilation)
+        mind, mind_var = mind_ssd_stats_batchable(x, radius, dilation)
         mind_var = mind_var[None]
     else:
         pairs = _mind_shift_pairs()

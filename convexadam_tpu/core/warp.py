@@ -87,10 +87,40 @@ def identity_grid_voxels(shape: Sequence[int], dtype=jnp.float32) -> jax.Array:
 # grid_sample (trilinear)
 # ---------------------------------------------------------------------------
 
+@jax.custom_batching.custom_vmap
+def _take_columns_fenced(mat, idx):
+    """``mat[:, idx]`` on the fast 1-D gather path, with the optimization
+    barriers that keep elementwise consumers OUT of the gather kernel.
+
+    custom_vmap: a leading batch dimension turns XLA:TPU's take into a
+    pathological multi-dimensional gather (measured 9.4 s vs 1.06 s for the
+    full registration at batch size 1), so batched operands are mapped
+    sequentially — per-index cost is a hardware floor anyway, sequential
+    loses nothing.
+    """
+    out = jnp.take(mat, lax.optimization_barrier(idx), axis=1)
+    return lax.optimization_barrier(out)
+
+
+@_take_columns_fenced.def_vmap
+def _take_columns_fenced_vmap(axis_size, in_batched, mat, idx):
+    del axis_size
+    mat_b, idx_b = in_batched
+    if mat_b and idx_b:
+        out = jax.lax.map(
+            lambda t: _take_columns_fenced(t[0], t[1]), (mat, idx)
+        )
+    elif idx_b:
+        out = jax.lax.map(lambda i: _take_columns_fenced(mat, i), idx)
+    else:
+        out = jax.lax.map(lambda m: _take_columns_fenced(m, idx), mat)
+    return out, True
+
+
 def _gather_corners(vol_flat, idx_h, idx_w, idx_d, W, D):
     """Gather vol_flat (C, H*W*D) at integer corner coords (N,) → (C, N)."""
     lin = (idx_h * W + idx_w) * D + idx_d
-    return jnp.take(vol_flat, lin, axis=1)
+    return _take_columns_fenced(vol_flat, lin)
 
 
 def _gs_coords(vol_shape, g, align_corners, padding_mode):
@@ -167,9 +197,7 @@ def _grid_sample_bilinear(vol, g, align_corners, padding_mode):
         vol.shape, fracs, bases, padding_mode, compute_dtype
     ):
         w = wx * wy * wz * m
-        corner = lax.optimization_barrier(
-            jnp.take(vol_flat, lax.optimization_barrier(lin), axis=1)
-        )
+        corner = _take_columns_fenced(vol_flat, lin)
         acc = acc + corner * w[None, :]
     return acc
 
@@ -195,7 +223,7 @@ def _grid_sample_bilinear_bwd(align_corners, padding_mode, res, ct):
     for (dx, dy, dz), (wx, wy, wz), m, lin in _corner_terms(
         vol.shape, fracs, bases, padding_mode, compute_dtype
     ):
-        corner = jnp.take(vol_flat, lin, axis=1)  # (C, N)
+        corner = _take_columns_fenced(vol_flat, lin)  # (C, N)
         ct_dot_v = jnp.sum(ct * corner, axis=0)  # (N,)
         sx = 1.0 if dx else -1.0
         sy = 1.0 if dy else -1.0
@@ -339,8 +367,7 @@ def _gs_stacked_common(vol8, g, align_corners, vol_shape):
     # at full VPU speed (measured 46→32 ms/iter on the Adam loop, 96^3x12)
     # block stays in the stack's dtype; upcasts fuse into consumers
     vol8_flat = vol8.reshape(8 * C, -1)
-    block = jnp.take(vol8_flat, lax.optimization_barrier(lin), axis=1)
-    block = lax.optimization_barrier(block).reshape(8, C, n)
+    block = _take_columns_fenced(vol8_flat, lin).reshape(8, C, n)
     # per-corner weights with zeros-padding masks
     ws = []
     masks = []
@@ -371,12 +398,12 @@ def _stacked_weighted_reduce(block, fracs, bases, ws, vol_shape):
     n = block.shape[-1]
     if jax.default_backend() == "tpu":
         from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
-            corner_reduce_fwd,
+            corner_reduce_fwd_batchable,
             corner_reduce_supported,
         )
 
         if corner_reduce_supported(n):
-            return corner_reduce_fwd(
+            return corner_reduce_fwd_batchable(
                 block.reshape(8 * C, n), fracs, bases, vol_shape
             )
     w8 = jnp.stack(ws)  # (8, N)
@@ -435,16 +462,16 @@ def _gs_stacked_bwd(align_corners, vol_shape, res, ct):
     use_pallas = False
     if jax.default_backend() == "tpu":
         from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
-            corner_reduce_bwd,
+            corner_reduce_bwd_batchable,
             corner_reduce_supported,
         )
 
         use_pallas = corner_reduce_supported(n)
     if use_pallas:
         # fused single pass over block: corner reductions + dxs/dys/dzs
-        dg3 = corner_reduce_bwd(
+        dg3 = corner_reduce_bwd_batchable(
             block.reshape(8 * C, n), ct.astype(jnp.float32),
-            (fx, fy, fz), (x0i, y0i, z0i), (C, H, W, D),
+            (fx, fy, fz), (x0i, y0i, z0i), (C, H, W, D), 1.0,
         )
         dxs, dys, dzs = dg3[0], dg3[1], dg3[2]
     else:
@@ -511,16 +538,18 @@ def warp_with_displacement_stacked(
 # fused data-term loss (Adam loop): warp + SSD + reductions in the kernels
 # ---------------------------------------------------------------------------
 
-def _stacked_mse_rows(disp, align_corners, vol_shape):
+def _stacked_mse_pos(disp, align_corners, vol_shape):
     """Per-axis absolute sample coordinates for the fused data-term path.
 
     The public sampler convention (torch parity) builds a normalized grid
     ``g = id + disp/((size-1)/2)`` and unnormalizes with the ``size/2``
     (align_corners=False) factors; composing the two gives the absolute
     voxel position ``pos_axis = index_axis + disp_axis * size/(size-1)``
-    (exactly 1 for align_corners=True).  Working per-axis in (n,)-row layout
-    keeps the lane dimension wide — the (n, 3) grid array (lane dim 3,
-    padded to 128 on TPU) forced ~1.4 ms/iter of relayout copies at 96³.
+    (exactly 1 for align_corners=True).  Working per-axis in (3, n)-row
+    layout keeps the lane dimension wide — the (n, 3) grid array (lane dim
+    3, padded to 128 on TPU) forced ~1.4 ms/iter of relayout copies at 96³.
+
+    Returns (pos_rows (3, n) f32, fac).
     """
     _, H, W, D = vol_shape
     d = disp.astype(jnp.float32).reshape(3, -1)
@@ -537,17 +566,21 @@ def _stacked_mse_rows(disp, align_corners, vol_shape):
     kk = jnp.broadcast_to(
         jnp.arange(D, dtype=jnp.float32)[None, None, :], (H, W, D)
     ).reshape(-1)
-    px = ii + d[0] * fac[0]
-    py = jj + d[1] * fac[1]
-    pz = kk + d[2] * fac[2]
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    z0 = jnp.floor(pz)
-    fracs = (px - x0, py - y0, pz - z0)
-    bases = (
-        x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32)
+    pos = jnp.stack(
+        [ii + d[0] * fac[0], jj + d[1] * fac[1], kk + d[2] * fac[2]]
     )
-    return fracs, bases, fac
+    return pos, fac
+
+
+def _stacked_mse_coords(pos):
+    """floor/fraction/int-base rows from absolute positions (3, n)."""
+    p0 = jnp.floor(pos)
+    fr = pos - p0
+    base = p0.astype(jnp.int32)
+    return (
+        (fr[0], fr[1], fr[2]),
+        (base[0], base[1], base[2]),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -559,26 +592,27 @@ def _stacked_mse(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape):
 
 
 def _stacked_mse_fwd(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape):
-    from convexadam_tpu.ops.warp_pallas import corner_reduce_loss_grad
+    from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
+        corner_reduce_loss_grad_batchable,
+    )
 
     C, H, W, D = vol_shape
     n = H * W * D
-    fracs, bases, fac = _stacked_mse_rows(disp, align_corners, vol_shape)
-    x0i, y0i, z0i = bases
-    xb = jnp.clip(x0i + 1, 0, H)
-    yb = jnp.clip(y0i + 1, 0, W)
-    zb = jnp.clip(z0i + 1, 0, D)
+    pos, fac = _stacked_mse_pos(disp, align_corners, vol_shape)
+    x0i = jnp.floor(pos).astype(jnp.int32)
+    xb = jnp.clip(x0i[0] + 1, 0, H)
+    yb = jnp.clip(x0i[1] + 1, 0, W)
+    zb = jnp.clip(x0i[2] + 1, 0, D)
     lin = (xb * (W + 1) + yb) * (D + 1) + zb
     vol8_flat = vol8.reshape(8 * C, -1)
-    block = jnp.take(vol8_flat, lax.optimization_barrier(lin), axis=1)
-    block = lax.optimization_barrier(block)
+    block = _take_columns_fenced(vol8_flat, lin)
     # the VJP w.r.t. the displacement is linear in the (scalar) loss
     # cotangent, so the whole coordinate gradient is computed in the SAME
     # kernel pass that reduces the loss — the backward pass only scales it.
     # One HBM read of the 170 MB gathered block per iteration instead of two.
     chain0 = 2.0 * jnp.asarray(cost_scale, jnp.float32) / (C * n)
-    ssq, dg3 = corner_reduce_loss_grad(
-        block, fracs, bases, fix_flat.astype(jnp.float32), chain0, vol_shape
+    ssq, dg3 = corner_reduce_loss_grad_batchable(
+        block, pos, fix_flat.astype(jnp.float32), chain0, vol_shape
     )
     ssq_total = jnp.sum(ssq)
     loss = ssq_total * (cost_scale / (C * n))
@@ -592,7 +626,9 @@ def _stacked_mse_fwd(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape)
 
 
 def _stacked_mse_bwd(align_corners, vol_shape, resids, ctl):
-    from convexadam_tpu.ops.warp_pallas import corner_reduce_fwd
+    from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
+        corner_reduce_fwd_batchable,
+    )
 
     ddisp_pre, block, disp, fix_flat, cost_scale, ssq_total, vol8_token = (
         resids
@@ -603,8 +639,9 @@ def _stacked_mse_bwd(align_corners, vol_shape, resids, ctl):
     # vol8/fix cotangents are lazy recomputes (DCE'd by jax/XLA in the Adam
     # loop, where both are loop constants and only the grid is differentiated)
     dvol8 = jnp.zeros((8, C, H + 1, W + 1, D + 1), vol8_token.dtype)
-    fracs, bases, _ = _stacked_mse_rows(disp, align_corners, vol_shape)
-    warped = corner_reduce_fwd(block, fracs, bases, (C, H, W, D))
+    pos, _ = _stacked_mse_pos(disp, align_corners, vol_shape)
+    fracs, bases = _stacked_mse_coords(pos)
+    warped = corner_reduce_fwd_batchable(block, fracs, bases, (C, H, W, D))
     res = warped - fix_flat.astype(jnp.float32)
     chain = ctl * (2.0 * cost_scale / (C * n))
     dfix = (-chain) * res
@@ -680,24 +717,23 @@ def warp_ssd_loss_and_grad(
     Only valid on the fused path — callers must check
     ``corner_reduce_supported(H*W*D)`` and the TPU backend first.
     """
-    from convexadam_tpu.ops.warp_pallas import corner_reduce_loss_grad
+    from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
+        corner_reduce_loss_grad_batchable,
+    )
 
     C, H, W, D = vol_shape
     n = H * W * D
-    fracs, bases, fac = _stacked_mse_rows(
-        disp_voxels, align_corners, vol_shape
-    )
-    x0i, y0i, z0i = bases
-    xb = jnp.clip(x0i + 1, 0, H)
-    yb = jnp.clip(y0i + 1, 0, W)
-    zb = jnp.clip(z0i + 1, 0, D)
+    pos, fac = _stacked_mse_pos(disp_voxels, align_corners, vol_shape)
+    x0i = jnp.floor(pos).astype(jnp.int32)
+    xb = jnp.clip(x0i[0] + 1, 0, H)
+    yb = jnp.clip(x0i[1] + 1, 0, W)
+    zb = jnp.clip(x0i[2] + 1, 0, D)
     lin = (xb * (W + 1) + yb) * (D + 1) + zb
     vol8_flat = vol8.reshape(8 * C, -1)
-    block = jnp.take(vol8_flat, lax.optimization_barrier(lin), axis=1)
-    block = lax.optimization_barrier(block)
+    block = _take_columns_fenced(vol8_flat, lin)
     chain0 = 2.0 * jnp.asarray(cost_scale, jnp.float32) / (C * n)
-    ssq, dg3 = corner_reduce_loss_grad(
-        block, fracs, bases, fix_flat, chain0, vol_shape, interpret=interpret
+    ssq, dg3 = corner_reduce_loss_grad_batchable(
+        block, pos, fix_flat, chain0, vol_shape, interpret=interpret
     )
     loss = jnp.sum(ssq) * (cost_scale / (C * n))
     ddisp = jnp.concatenate(

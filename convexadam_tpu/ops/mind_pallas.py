@@ -161,6 +161,35 @@ def mind_supported(shape, radius: int, dilation: int, itemsize: int) -> bool:
     return slab + d2 + ssd12 + out < 10 * 1024 * 1024
 
 
+# custom_vmap wrapper mapping the kernel sequentially over a batch (the
+# sweep/batch engines vmap whole pipelines over case pairs; the MIND kernel
+# saturates the chip per volume, so sequential mapping costs nothing — and
+# the kernel's ANY-memory-space input forbids the default pallas batching
+# rule's block-spec extension).
+_MSP_CACHE: dict = {}
+
+
+def mind_ssd_stats_batchable(
+    img, radius: int, dilation: int, interpret: bool = False
+):
+    key = (radius, dilation, interpret)
+    if key not in _MSP_CACHE:
+
+        @jax.custom_batching.custom_vmap
+        def _msp(x):
+            return mind_ssd_stats_pallas(x, radius, dilation, interpret)
+
+        @_msp.def_vmap
+        def _msp_vmap(axis_size, in_batched, x):
+            if not in_batched[0]:
+                x = jnp.broadcast_to(x, (axis_size,) + x.shape)
+            out = jax.lax.map(_msp, x)
+            return out, (True, True)
+
+        _MSP_CACHE[key] = _msp
+    return _MSP_CACHE[key](img)
+
+
 @functools.partial(
     jax.jit, static_argnames=("radius", "dilation", "interpret")
 )

@@ -35,6 +35,86 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def make_sequential_vmap(fn):
+    """Wrap an array-only function so ``vmap`` maps it SEQUENTIALLY.
+
+    Two reasons the default rules are wrong for these kernels:
+    * the default ``pallas_call`` batching rule prepends the batch to the
+      grid, silently re-keying ``pl.program_id(0)`` — kernels that write
+      per-program SMEM slots (the ssq partials) would corrupt their output;
+    * a leading batch dimension turns the corner-stack ``take`` into
+      XLA:TPU's pathological multi-dimensional gather (measured 9.4 s vs
+      1.06 s for the full pipeline at batch size 1).
+
+    Unbatched arguments are closed over (not broadcast) so a shared corner
+    stack or fixed-feature block is not copied per batch element.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def wrapped(*arrays):
+        return fn(*arrays)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, *arrays):
+        del axis_size
+        idx = [i for i, b in enumerate(in_batched) if b]
+
+        def call_one(bt):
+            full = list(arrays)
+            for j, i in enumerate(idx):
+                full[i] = bt[j]
+            return wrapped(*full)
+
+        out = jax.lax.map(call_one, tuple(arrays[i] for i in idx))
+        return out, jax.tree.map(lambda _: True, out)
+
+    return wrapped
+
+
+_BATCHABLE_CACHE: dict = {}
+
+
+def corner_reduce_loss_grad_batchable(
+    block, pos_rows, fix_flat, chain, vol_shape, interpret: bool = False
+):
+    key = ("loss_grad", vol_shape, interpret)
+    if key not in _BATCHABLE_CACHE:
+        _BATCHABLE_CACHE[key] = make_sequential_vmap(
+            lambda b, p, f, c: corner_reduce_loss_grad(
+                b, p, f, c, vol_shape, interpret
+            )
+        )
+    return _BATCHABLE_CACHE[key](block, pos_rows, fix_flat, chain)
+
+
+def corner_reduce_fwd_batchable(
+    block, fracs, bases, vol_shape, interpret: bool = False
+):
+    key = ("fwd", vol_shape, interpret)
+    if key not in _BATCHABLE_CACHE:
+        _BATCHABLE_CACHE[key] = make_sequential_vmap(
+            lambda b, f0, f1, f2, b0, b1, b2: corner_reduce_fwd(
+                b, (f0, f1, f2), (b0, b1, b2), vol_shape, interpret
+            )
+        )
+    return _BATCHABLE_CACHE[key](block, *fracs, *bases)
+
+
+def corner_reduce_bwd_batchable(
+    block, ct, fracs, bases, vol_shape, scale, interpret: bool = False
+):
+    key = ("bwd", vol_shape, interpret)
+    if key not in _BATCHABLE_CACHE:
+        _BATCHABLE_CACHE[key] = make_sequential_vmap(
+            lambda b, c, f0, f1, f2, b0, b1, b2, s: corner_reduce_bwd(
+                b, c, (f0, f1, f2), (b0, b1, b2), vol_shape, s, interpret
+            )
+        )
+    return _BATCHABLE_CACHE[key](
+        block, ct, *fracs, *bases, jnp.asarray(scale, jnp.float32)
+    )
+
+
 def _pick_tn(n: int):
     """Largest lane-tile dividing ``n`` (grids with ragged tails fall back
     to the XLA path rather than paying a pad/copy of the gathered block)."""
@@ -105,7 +185,7 @@ def corner_reduce_fwd(
 
 
 def _fused_loss_kernel(
-    block_ref, fr_ref, base_ref, fix_ref, chain_ref, ssq_ref, dg_ref,
+    block_ref, pos_ref, fix_ref, chain_ref, ssq_ref, dg_ref,
     *, C, H, W, D
 ):
     """SSD data term AND its coordinate gradient in ONE read of ``block``.
@@ -117,9 +197,19 @@ def _fused_loss_kernel(
     the sampler is linear in the loss cotangent, so the VJP only has to
     scale these rows — the separate backward kernel (and its second 170 MB
     HBM read of the gathered block at 96³×12) disappears from the Adam loop.
+
+    Takes the absolute voxel positions (3, N) and derives floor/fraction/
+    validity in VMEM — materialising separate fraction + base arrays in HBM
+    cost ~21 MB/iter of extra traffic at 96³.
     """
-    fx, fy, fz = fr_ref[0:1, :], fr_ref[1:2, :], fr_ref[2:3, :]
-    x0, y0, z0 = base_ref[0:1, :], base_ref[1:2, :], base_ref[2:3, :]
+    px, py, pz = pos_ref[0:1, :], pos_ref[1:2, :], pos_ref[2:3, :]
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    z0f = jnp.floor(pz)
+    fx, fy, fz = px - x0f, py - y0f, pz - z0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    z0 = z0f.astype(jnp.int32)
     wx = (1.0 - fx, fx)
     wy = (1.0 - fy, fy)
     wz = (1.0 - fz, fz)
@@ -169,21 +259,22 @@ def _fused_loss_kernel(
 @functools.partial(jax.jit, static_argnames=("vol_shape", "interpret"))
 def corner_reduce_loss_grad(
     block: jax.Array,
-    fracs: tuple,
-    bases: tuple,
+    pos_rows: jax.Array,
     fix_flat: jax.Array,
     chain: jax.Array,
     vol_shape: tuple,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused data term: returns (per-tile ssq partials (n_tiles, 1) f32,
-    coordinate-gradient rows dg3 (3, N) f32 pre-scaled by ``chain``)."""
+    coordinate-gradient rows dg3 (3, N) f32 pre-scaled by ``chain``).
+
+    ``pos_rows`` are the absolute (unnormalized) voxel sample positions as
+    (3, N) f32 rows; floor/fraction/bounds-masks are derived in-kernel.
+    """
     C8, n = block.shape
     C = C8 // 8
     _, H, W, D = vol_shape
     TN = _pick_tn(n)
-    fr = jnp.stack([f.astype(jnp.float32) for f in fracs])
-    base = jnp.stack([b.astype(jnp.int32) for b in bases])
     chain_arr = jnp.asarray(chain, jnp.float32).reshape(1, 1)
     kernel = functools.partial(_fused_loss_kernel, C=C, H=H, W=W, D=D)
     return pl.pallas_call(
@@ -196,7 +287,6 @@ def corner_reduce_loss_grad(
         in_specs=[
             pl.BlockSpec((C8, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -207,7 +297,7 @@ def corner_reduce_loss_grad(
             pl.BlockSpec((3, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(block, fr, base, fix_flat, chain_arr)
+    )(block, pos_rows.astype(jnp.float32), fix_flat, chain_arr)
 
 
 def _bwd_kernel(

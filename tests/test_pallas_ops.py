@@ -183,6 +183,23 @@ def test_mind_pallas_matches_xla(rng, r, d):
     )
 
 
+def test_mind_batchable_vmap_matches_per_item(rng):
+    """vmap over a batch of volumes must hit the custom_vmap sequential-map
+    rule (the kernel's ANY-space specs forbid the default batching rule) and
+    bit-match per-item calls."""
+    import jax
+    from convexadam_tpu.ops.mind_pallas import mind_ssd_stats_batchable
+
+    xs = jnp.asarray(rng.standard_normal((2, 16, 16, 16)).astype(np.float32))
+    mind_b, var_b = jax.vmap(
+        lambda x: mind_ssd_stats_batchable(x, 1, 2, interpret=True)
+    )(xs)
+    for i in range(2):
+        mind_i, var_i = mind_ssd_stats_batchable(xs[i], 1, 2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(mind_b[i]), np.asarray(mind_i))
+        np.testing.assert_array_equal(np.asarray(var_b[i]), np.asarray(var_i))
+
+
 def test_mind_supported():
     from convexadam_tpu.ops.mind_pallas import mind_supported
 
@@ -196,14 +213,13 @@ def test_fused_mse_loss_value_and_grad_match_xla(rng):
     match value AND gradient of the XLA stacked-sampler composition."""
     import jax
     from convexadam_tpu.core.warp import (
-        _gs_coords,
         build_corner_stack,
-        identity_grid_normalized,
+        warp_ssd_loss_and_grad,
         warp_with_displacement_stacked,
     )
-    from convexadam_tpu.ops.warp_pallas import corner_reduce_loss_grad
 
     C, H, W, D = 3, 8, 8, 8
+    n = H * W * D
     cost_scale = 7.0
     mov = rng.standard_normal((C, H, W, D)).astype(np.float32)
     fix = rng.standard_normal((C, H, W, D)).astype(np.float32)
@@ -218,39 +234,46 @@ def test_fused_mse_loss_value_and_grad_match_xla(rng):
 
     ref_val, ref_grad = jax.value_and_grad(xla_loss)(jnp.asarray(disp))
 
-    # fused path, interpret mode: replicate _stacked_mse_fwd/_bwd by hand
-    scale = jnp.array(
-        [(H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0], jnp.float32
-    ).reshape(3, 1, 1, 1)
-    grid = identity_grid_normalized((H, W, D), False, jnp.float32)
-    g = (grid + jnp.moveaxis(jnp.asarray(disp) / scale, 0, -1)).reshape(-1, 3)
-    n = g.shape[0]
-    _, fracs, bases = _gs_coords((C, H, W, D), g, False, "zeros")
-    x0i, y0i, z0i = bases
-    xb = jnp.clip(x0i + 1, 0, H)
-    yb = jnp.clip(y0i + 1, 0, W)
-    zb = jnp.clip(z0i + 1, 0, D)
-    lin = (xb * (W + 1) + yb) * (D + 1) + zb
-    block = jnp.take(stack.reshape(8 * C, -1), lin, axis=1)
-    chain = 2.0 * cost_scale / (C * n)
-    ssq, dg3 = corner_reduce_loss_grad(
-        block, fracs, bases, jnp.asarray(fix).reshape(C, -1),
-        jnp.float32(chain), (C, H, W, D), interpret=True,
+    val, dd = warp_ssd_loss_and_grad(
+        stack, (C, H, W, D), jnp.asarray(disp),
+        jnp.asarray(fix).reshape(C, -1), cost_scale, interpret=True,
     )
-    val = float(jnp.sum(ssq) * (cost_scale / (C * n)))
-    np.testing.assert_allclose(val, float(ref_val), rtol=1e-5)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dd), np.asarray(ref_grad), rtol=1e-4, atol=1e-5
+    )
 
-    # dg3 comes out pre-scaled by the MSE chain factor; the absolute-voxel
-    # coordinate rows only need the size/(size-1) normalization-mismatch
-    # factor per axis (pos = i + disp*size/(size-1), see _stacked_mse_rows)
-    dd = np.stack(
-        [
-            np.asarray(dg3[0]) * (H / (H - 1.0)),
-            np.asarray(dg3[1]) * (W / (W - 1.0)),
-            np.asarray(dg3[2]) * (D / (D - 1.0)),
-        ]
-    ).reshape(3, H, W, D)
-    np.testing.assert_allclose(dd, np.asarray(ref_grad), rtol=1e-4, atol=1e-5)
+
+def test_warp_ssd_loss_and_grad_vmap_matches_per_item(rng):
+    """vmap over case pairs must route the corner-stack take AND the fused
+    kernel through the sequential custom_vmap rules (the default batching
+    rules are respectively pathologically slow and program_id-corrupting)
+    and match per-item results exactly."""
+    import jax
+    from convexadam_tpu.core.warp import (
+        build_corner_stack,
+        warp_ssd_loss_and_grad,
+    )
+
+    C, H, W, D = 3, 8, 8, 8
+    B = 2
+    mov = rng.standard_normal((B, C, H, W, D)).astype(np.float32)
+    fix = rng.standard_normal((B, C, H * W * D)).astype(np.float32)
+    disp = (rng.standard_normal((B, 3, H, W, D)) * 1.5).astype(np.float32)
+    stacks = jax.vmap(build_corner_stack)(jnp.asarray(mov))
+
+    loss_b, dd_b = jax.vmap(
+        lambda s, d, f: warp_ssd_loss_and_grad(
+            s, (C, H, W, D), d, f, 12.0, interpret=True
+        )
+    )(stacks, jnp.asarray(disp), jnp.asarray(fix))
+    for i in range(B):
+        loss_i, dd_i = warp_ssd_loss_and_grad(
+            stacks[i], (C, H, W, D), jnp.asarray(disp[i]),
+            jnp.asarray(fix[i]), 12.0, interpret=True,
+        )
+        np.testing.assert_allclose(float(loss_b[i]), float(loss_i), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(dd_b[i]), np.asarray(dd_i))
 
 
 def test_explicit_grad_step_matches_autodiff(rng):

@@ -26,6 +26,24 @@ def device_usage(device=None) -> str:
 
 
 @contextlib.contextmanager
+def profile_trace(log_dir):
+    """Capture a ``jax.profiler`` device trace around a block.
+
+    The TPU analogue of the reference's cuda-synchronize wall-clock
+    bracketing (SURVEY §5): writes a TensorBoard/XProf-viewable trace of
+    every XLA kernel under ``log_dir``.  Use around one registration or one
+    sweep setting; traces of long sweeps get large.
+    """
+    import jax
+
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
 def stage_timer(name: str, timings: dict | None = None, verbose: bool = False):
     """Wall-clock a pipeline stage (the reference brackets stages with
     cuda.synchronize + time.time, convex_adam_nnUNet.py:57-58,146-149);

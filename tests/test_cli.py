@@ -123,3 +123,20 @@ def test_register_cli_multi_output(tmp_path):
     c = 10
     err = np.abs(np.asarray(d20)[c:-c, c:-c, c:-c] - np.array([2, -1, 1], np.float32))
     assert np.mean(np.all(err < 1.0, axis=-1)) > 0.8
+
+
+def test_console_script_entry_points_resolve():
+    """Every [project.scripts] target must import and be callable (the
+    pip-installable CLI parity surface)."""
+    import importlib
+    import pathlib
+    import tomllib
+
+    cfg = tomllib.loads(
+        (pathlib.Path(__file__).parent.parent / "pyproject.toml").read_text()
+    )
+    scripts = cfg["project"]["scripts"]
+    assert len(scripts) >= 5
+    for target in scripts.values():
+        mod, attr = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), attr))

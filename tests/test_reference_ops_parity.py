@@ -1,0 +1,80 @@
+"""Op-level parity against the ACTUAL packaged reference core ops.
+
+``tests/reference_ops_20.npz`` holds outputs of the unmodified
+src/convexAdam/convex_adam_utils.py functions (MINDSSC, correlate,
+coupled_convex, inverse_consistency; torch CPU f32) on deterministic
+inputs.  These complement the re-derived torch oracles in
+test_features/test_cost_volume/test_warp with fixtures produced by the
+reference code itself.
+
+Channel conventions: ``disp_soft`` is array-order on both sides; the
+reference flips to torch's grid_sample (x, y, z) ordering only at the
+IC/grid_sample boundary (the ``.flip(1)`` dances), so the IC fixture is
+compared channel-reversed.
+"""
+
+import pathlib
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from convexadam_tpu.core.convex import coupled_convex
+from convexadam_tpu.core.cost_volume import correlate, displacement_mesh
+from convexadam_tpu.core.features import mindssc
+from convexadam_tpu.core.smoothing import avg_pool3d
+from convexadam_tpu.core.warp import inverse_consistency
+
+_HERE = pathlib.Path(__file__).parent
+_REF = np.load(_HERE / "reference_ops_20.npz")
+
+
+def test_mindssc_matches_reference():
+    vol = jnp.asarray(_REF["vol"])
+    for r, d in [(1, 2), (2, 1), (3, 3)]:
+        ours = np.asarray(mindssc(vol, r, d, dtype=jnp.float32))
+        np.testing.assert_allclose(
+            ours, _REF[f"mind_r{r}_d{d}"], rtol=1e-4, atol=1e-5,
+            err_msg=f"mind r={r} d={d}",
+        )
+
+
+def _pooled_features():
+    ff = mindssc(jnp.asarray(_REF["vol"]), 1, 2, dtype=jnp.float32)
+    fm = mindssc(jnp.asarray(_REF["vol2"]), 1, 2, dtype=jnp.float32)
+    return avg_pool3d(ff, 2, stride=2), avg_pool3d(fm, 2, stride=2)
+
+
+def test_correlate_matches_reference():
+    ffs, fms = _pooled_features()
+    ssd, amin = correlate(ffs, fms, 2)
+    np.testing.assert_allclose(
+        np.asarray(ssd), _REF["ssd"], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(amin), _REF["ssd_argmin"])
+
+
+def test_coupled_convex_matches_reference():
+    ffs, fms = _pooled_features()
+    ssd, amin = correlate(ffs, fms, 2)
+    disp = np.asarray(coupled_convex(ssd, amin, displacement_mesh(2)))
+    # disp_soft comes out in array order on both sides (the reference's
+    # xyz flip only happens later, at the IC/grid_sample boundary)
+    np.testing.assert_allclose(
+        disp, _REF["disp_soft"], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_inverse_consistency_matches_reference():
+    ffs, fms = _pooled_features()
+    mesh = displacement_mesh(2)
+    ssd, amin = correlate(ffs, fms, 2)
+    d1 = coupled_convex(ssd, amin, mesh)
+    ssd2, amin2 = correlate(fms, ffs, 2)
+    d2 = coupled_convex(ssd2, amin2, mesh)
+    h, w, d = d1.shape[1:]
+    scale = jnp.array([(h - 1) / 2, (w - 1) / 2, (d - 1) / 2]).reshape(3, 1, 1, 1)
+    ic_fwd, _ = inverse_consistency(d1 / scale, d2 / scale, iters=15)
+    np.testing.assert_allclose(
+        np.asarray(ic_fwd), _REF["ic_fwd"][::-1], rtol=1e-4, atol=1e-5
+    )

@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from convexadam_tpu.core.smoothing import avg_pool3d
 
@@ -85,3 +86,145 @@ def coupled_convex(
         disp_soft = avg_pool3d(_gather_disp(disp_mesh, argmin), 3, stride=1, padding=1)
 
     return disp_soft
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("disp_hw", "metric", "smooth_passes", "compute_dtype"),
+)
+def correlate_coupled_streamed(
+    feat_fix: jax.Array,
+    feat_mov: jax.Array,
+    disp_hw: int,
+    metric: str = "ssd",
+    smooth_passes: int = 2,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Cost volume + coupled convex WITHOUT materialising the (K³, N) array.
+
+    Large sweep settings overflow HBM with the dense volume — e.g.
+    ``grid_sp=2, disp_hw=7`` at 192×160×256 needs ~6.6 GB *per direction*
+    in bf16 and fails to compile on this chip (the reference bounds memory
+    with its H-slice inner loop instead, convex_adam_utils.py:102-105).
+    This path re-evaluates the per-candidate smoothed cost inside a
+    ``lax.scan`` over the K³ candidates for the initial argmin AND each of
+    the six coupling iterations, carrying only a running (best, argmin)
+    pair — peak memory is a few coarse volumes; compute is 7× the one-pass
+    cost volume (cheap: MXU-free VPU work on coarse grids).
+
+    Numerics: per-candidate cost and box smoothing are element-wise
+    identical to :func:`~convexadam_tpu.core.cost_volume.correlate`'s XLA
+    path, and the running strict-``<`` update keeps the FIRST minimal
+    candidate exactly like ``jnp.argmin`` — bit-equal to
+    ``coupled_convex(..., use_mxu=False)`` on the materialised volume.
+
+    Returns ``disp_soft`` (3, H', W', D') in coarse-grid voxel units.
+    """
+    from convexadam_tpu.core.cost_volume import displacement_mesh
+
+    q = disp_hw
+    K = 2 * q + 1
+    C, H, W, D = feat_fix.shape
+    fix = feat_fix.astype(compute_dtype)
+    movp = jnp.pad(
+        feat_mov.astype(compute_dtype),
+        ((0, 0), (q, q), (q, q), (q, q)),
+        mode="constant",
+    )
+    ks = np.arange(K**3)
+    offs = jnp.asarray(
+        np.stack([ks % K, (ks // K) % K, ks // (K * K)], axis=1), jnp.int32
+    )
+    mesh = displacement_mesh(q)  # (3, K^3)
+    mesh_t = mesh.T  # (K^3, 3)
+
+    def smoothed_cost(off):
+        sl = jax.lax.dynamic_slice(
+            movp, (0, off[0], off[1], off[2]), (C, H, W, D)
+        )
+        d = fix - sl
+        cost = jnp.abs(d) if metric == "sad" else d * d
+        cost = jnp.sum(cost, axis=0)
+        for _ in range(smooth_passes):
+            cost = avg_pool3d(cost, 3, stride=1, padding=1)
+        return cost.astype(jnp.float32)
+
+    big = jnp.float32(np.finfo(np.float32).max)
+
+    def argmin_pass(extra_fn):
+        """Scan candidates, carrying (best value, argmin); ``extra_fn``
+        adds the coupling term for a candidate (or 0 for the init pass)."""
+
+        def body(carry, ko):
+            k, off = ko
+            best, bidx = carry
+            s = smoothed_cost(off) + extra_fn(k)
+            better = s < best
+            return (
+                jnp.where(better, s, best),
+                jnp.where(better, k, bidx),
+            ), None
+
+        init = (
+            jnp.full((H, W, D), big, jnp.float32),
+            jnp.zeros((H, W, D), jnp.int32),
+        )
+        (_, am), _ = jax.lax.scan(
+            body, init, (jnp.asarray(ks, jnp.int32), offs)
+        )
+        return am
+
+    am0 = argmin_pass(lambda k: jnp.float32(0.0))
+    disp_soft = avg_pool3d(_gather_disp(mesh, am0), 3, stride=1, padding=1)
+
+    for c in COUPLING_COEFFS:
+        ds = disp_soft  # captured per-iteration
+
+        def coupling(k, ds=ds):
+            dk = mesh_t[k]  # (3,)
+            diff = dk.reshape(3, 1, 1, 1) - ds
+            return jnp.float32(c) * jnp.sum(diff * diff, axis=0)
+
+        am = argmin_pass(coupling)
+        disp_soft = avg_pool3d(_gather_disp(mesh, am), 3, stride=1, padding=1)
+
+    return disp_soft
+
+
+# dense cost volumes whose estimated footprint (ssd + one smoothing
+# temporary, i.e. 2x the raw volume) exceeds this dispatch to the streamed
+# path.  Calibrated on the ~16 GB chip at 192x160x256: grid_sp=2/disp_hw=5
+# (10.5 GB estimate) runs dense in 3.1 s vs 6.3 s streamed; grid_sp=2/
+# disp_hw=7 (27 GB estimate) fails to compile dense and runs streamed in
+# 12.7 s.
+COST_VOLUME_STREAM_THRESHOLD = 12_000_000_000
+
+
+def convex_displacement(
+    feat_fix: jax.Array,
+    feat_mov: jax.Array,
+    disp_hw: int,
+    metric: str = "ssd",
+    smooth_passes: int = 2,
+    compute_dtype=jnp.float32,
+    use_mxu: "bool | None" = None,
+    stream_threshold: int = COST_VOLUME_STREAM_THRESHOLD,
+) -> jax.Array:
+    """One convex-stage direction: correlate + coupled convex, dispatching
+    to :func:`correlate_coupled_streamed` when the dense (K³, N) volume
+    would exceed ``stream_threshold`` bytes."""
+    from convexadam_tpu.core.cost_volume import correlate, displacement_mesh
+
+    K3 = (2 * disp_hw + 1) ** 3
+    n = int(np.prod(feat_fix.shape[1:]))
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    if K3 * n * itemsize * 2 > stream_threshold:
+        return correlate_coupled_streamed(
+            feat_fix, feat_mov, disp_hw, metric=metric,
+            smooth_passes=smooth_passes, compute_dtype=compute_dtype,
+        )
+    ssd, am = correlate(
+        feat_fix, feat_mov, disp_hw, compute_dtype=compute_dtype,
+        metric=metric, smooth_passes=smooth_passes,
+    )
+    return coupled_convex(ssd, am, displacement_mesh(disp_hw), use_mxu=use_mxu)

@@ -35,8 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from convexadam_tpu.core.adam import adam_instance_optimisation
-from convexadam_tpu.core.convex import coupled_convex
-from convexadam_tpu.core.cost_volume import correlate, displacement_mesh
+from convexadam_tpu.core.convex import convex_displacement
 from convexadam_tpu.core.features import mindssc, semantic_features
 from convexadam_tpu.core.smoothing import avg_pool3d, box_smooth_repeated
 from convexadam_tpu.core.warp import inverse_consistency, resize_trilinear
@@ -89,17 +88,14 @@ def _convex_stage(
     fix_s = avg_pool3d(feat_fix, g, stride=g)
     mov_s = avg_pool3d(feat_mov, g, stride=g)
 
-    mesh = displacement_mesh(cfg.disp_hw)
-    ssd, ssd_argmin = correlate(fix_s, mov_s, cfg.disp_hw)
-    disp_soft = coupled_convex(ssd, ssd_argmin, mesh)
+    disp_soft = convex_displacement(fix_s, mov_s, cfg.disp_hw)
 
     if cfg.ic:
         h, w, d = disp_soft.shape[1:]
         scale = jnp.array(
             [(h - 1) / 2.0, (w - 1) / 2.0, (d - 1) / 2.0], jnp.float32
         ).reshape(3, 1, 1, 1)
-        ssd_r, argmin_r = correlate(mov_s, fix_s, cfg.disp_hw)
-        disp_soft_r = coupled_convex(ssd_r, argmin_r, mesh)
+        disp_soft_r = convex_displacement(mov_s, fix_s, cfg.disp_hw)
         disp_ice, _ = inverse_consistency(
             disp_soft / scale, disp_soft_r / scale, iters=15
         )

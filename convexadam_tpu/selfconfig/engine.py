@@ -27,8 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from convexadam_tpu.core.adam import adam_instance_optimisation
-from convexadam_tpu.core.convex import coupled_convex
-from convexadam_tpu.core.cost_volume import correlate, displacement_mesh
+from convexadam_tpu.core.convex import convex_displacement
 from convexadam_tpu.core.features import mindssc, semantic_features
 from convexadam_tpu.core.metrics import (
     dice_coeff,
@@ -83,11 +82,8 @@ def convex_field_semantic(
     fix_s = avg_pool3d(ff, grid_sp, stride=grid_sp)
     mov_s = avg_pool3d(fm, grid_sp, stride=grid_sp)
 
-    mesh = displacement_mesh(disp_hw)
-    ssd, am = correlate(fix_s, mov_s, disp_hw)
-    disp_soft = coupled_convex(ssd, am, mesh)
-    ssd_r, am_r = correlate(mov_s, fix_s, disp_hw)
-    disp_soft_r = coupled_convex(ssd_r, am_r, mesh)
+    disp_soft = convex_displacement(fix_s, mov_s, disp_hw)
+    disp_soft_r = convex_displacement(mov_s, fix_s, disp_hw)
 
     h, w, d = disp_soft.shape[1:]
     scale = jnp.array(
@@ -117,11 +113,8 @@ def convex_field_mind(
     fm = mindssc(img_moving, mind_r, mind_d)
     fix_s = avg_pool3d(ff, grid_sp, stride=grid_sp)
     mov_s = avg_pool3d(fm, grid_sp, stride=grid_sp)
-    mesh = displacement_mesh(disp_hw)
-    ssd, am = correlate(fix_s, mov_s, disp_hw)
-    disp_soft = coupled_convex(ssd, am, mesh)
-    ssd_r, am_r = correlate(mov_s, fix_s, disp_hw)
-    disp_soft_r = coupled_convex(ssd_r, am_r, mesh)
+    disp_soft = convex_displacement(fix_s, mov_s, disp_hw)
+    disp_soft_r = convex_displacement(mov_s, fix_s, disp_hw)
     h, w, d = disp_soft.shape[1:]
     scale = jnp.array(
         [(h - 1) / 2.0, (w - 1) / 2.0, (d - 1) / 2.0], jnp.float32

@@ -157,3 +157,45 @@ def test_correlate_sad_matches_oracle(rng):
                 expected[kd * K * K + kw * K + kh] = (tf - sl).abs().sum(0)
     expected = F.avg_pool3d(expected.unsqueeze(0), 3, stride=1, padding=1)[0]
     np.testing.assert_allclose(np.asarray(ssd), expected.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_streamed_coupled_convex_matches_materialized(rng):
+    """correlate_coupled_streamed must be BIT-equal to the dense
+    correlate + coupled_convex(use_mxu=False) composition (same per-candidate
+    arithmetic, same first-min tie-breaks)."""
+    from convexadam_tpu.core.convex import (
+        correlate_coupled_streamed,
+        coupled_convex,
+    )
+
+    C, h, w, d = 5, 8, 9, 10
+    fix = jnp.asarray(rng.standard_normal((C, h, w, d)).astype(np.float32))
+    mov = jnp.asarray(rng.standard_normal((C, h, w, d)).astype(np.float32))
+    for metric in ("ssd", "sad"):
+        for passes in (1, 2):
+            ssd, am = cost_volume.correlate(
+                fix, mov, 2, metric=metric, smooth_passes=passes
+            )
+            dense = coupled_convex(
+                ssd, am, cost_volume.displacement_mesh(2), use_mxu=False
+            )
+            streamed = correlate_coupled_streamed(
+                fix, mov, 2, metric=metric, smooth_passes=passes
+            )
+            np.testing.assert_array_equal(
+                np.asarray(streamed), np.asarray(dense),
+                err_msg=f"metric={metric} passes={passes}",
+            )
+
+
+def test_convex_displacement_dispatch(rng):
+    """The dispatcher must stream when the dense volume would exceed the
+    threshold and produce the same field either way."""
+    from convexadam_tpu.core.convex import convex_displacement
+
+    C, h, w, d = 3, 7, 8, 9
+    fix = jnp.asarray(rng.standard_normal((C, h, w, d)).astype(np.float32))
+    mov = jnp.asarray(rng.standard_normal((C, h, w, d)).astype(np.float32))
+    dense = convex_displacement(fix, mov, 2, use_mxu=False)
+    streamed = convex_displacement(fix, mov, 2, stream_threshold=1)
+    np.testing.assert_array_equal(np.asarray(streamed), np.asarray(dense))

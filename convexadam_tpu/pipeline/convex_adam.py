@@ -85,6 +85,14 @@ def _convex_stage(
     """
     H, W, D = full_shape
     g = cfg.grid_sp
+    if min(H // g, W // g, D // g) < 2:
+        # a 1-cell coarse axis makes the IC normalisation degenerate
+        # ((n-1)/2 = 0); the reference silently emits NaN there
+        raise ValueError(
+            f"grid_sp={g} leaves a coarse grid of "
+            f"{(H // g, W // g, D // g)} for volume {full_shape}; every "
+            "coarse axis needs >= 2 cells"
+        )
     fix_s = avg_pool3d(feat_fix, g, stride=g)
     mov_s = avg_pool3d(feat_mov, g, stride=g)
 
@@ -120,6 +128,12 @@ def _adam_stage(
     """
     H, W, D = feat_fix.shape[1:]
     g2 = cfg.grid_sp_adam
+    if min(H // g2, W // g2, D // g2) < 2:
+        raise ValueError(
+            f"grid_sp_adam={g2} leaves an Adam grid of "
+            f"{(H // g2, W // g2, D // g2)} for volume {(H, W, D)}; every "
+            "axis needs >= 2 cells"
+        )
     patch_fix = avg_pool3d(feat_fix.astype(jnp.float32), g2, stride=g2)
     # the moving features stay in the configured compute dtype: with bf16
     # the corner-stack gather traffic halves (the reference analogously

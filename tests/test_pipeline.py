@@ -14,6 +14,7 @@ from convexadam_tpu.core.adam import adam_instance_optimisation
 from convexadam_tpu.pipeline.convex_adam import (
     ConvexAdamConfig,
     convex_adam,
+    convex_adam_jax,
     convex_adam_semantic_jax,
 )
 
@@ -269,3 +270,19 @@ def test_dtype_auto_policy():
     assert cfg.compute_dtype == expected
     assert ConvexAdamConfig(dtype="bfloat16").compute_dtype == jnp.bfloat16
     assert ConvexAdamConfig(dtype="float32").compute_dtype == jnp.float32
+
+
+def test_degenerate_grid_raises():
+    """grid_sp (or grid_sp_adam) leaving a <2-cell coarse axis must fail
+    loudly at trace time instead of silently emitting NaN (the reference's
+    behaviour: (H//grid_sp-1)/2 = 0 division)."""
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.standard_normal((20, 22, 24)).astype(np.float32))
+    with pytest.raises(ValueError, match="coarse axis"):
+        convex_adam_jax(vol, vol, ConvexAdamConfig(grid_sp=20, disp_hw=1))
+    with pytest.raises(ValueError, match="Adam grid"):
+        convex_adam_jax(
+            vol, vol,
+            ConvexAdamConfig(grid_sp=4, disp_hw=1, grid_sp_adam=12,
+                             selected_niter=2),
+        )

@@ -171,3 +171,40 @@ def apply_convex(disp, moving) -> np.ndarray:
     from convexadam_tpu.pipeline.convex_adam import validate_volume
 
     return _apply(validate_volume(disp), validate_volume(moving))
+
+
+def convex_adam_translation(
+    fixed_image,
+    moving_image,
+    segmentation=None,
+    co_moving_images=None,
+):
+    """Reference-signature translation alignment
+    (convex_adam_translation.py:57-114): accepts SimpleITK images (or
+    MedicalImage), returns (translation_xyz mm, moved image, moved
+    co-moving images) with outputs converted back to the input type."""
+    from convexadam_tpu.geometry.image import MedicalImage
+    from convexadam_tpu.pipeline.translation import (
+        convex_adam_translation as _translate,
+    )
+
+    was_sitk = not isinstance(fixed_image, MedicalImage)
+
+    def conv(im):
+        if im is None or isinstance(im, MedicalImage):
+            return im
+        return MedicalImage.from_sitk(im)
+
+    co = (
+        [conv(c) for c in co_moving_images]
+        if co_moving_images is not None
+        else None
+    )
+    t, moved, moved_co = _translate(
+        conv(fixed_image), conv(moving_image), conv(segmentation), co
+    )
+    if was_sitk:
+        moved = moved.to_sitk()
+        if moved_co is not None:
+            moved_co = [c.to_sitk() for c in moved_co]
+    return t, moved, moved_co

@@ -28,6 +28,36 @@ class MedicalImage:
         assert len(self.spacing) == 3 and len(self.origin) == 3
         assert len(self.direction) == 9
 
+    # -- SimpleITK interop (duck-typed: no sitk dependency) ------------------
+    @classmethod
+    def from_sitk(cls, img) -> "MedicalImage":
+        """Build from a SimpleITK image (or anything with the same duck
+        type: GetSpacing/GetOrigin/GetDirection plus a module-level
+        ``GetArrayFromImage``)."""
+        import sys
+
+        mod = sys.modules.get(type(img).__module__)
+        if mod is None or not hasattr(mod, "GetArrayFromImage"):
+            raise TypeError(
+                f"{type(img).__name__} does not look like a SimpleITK image"
+            )
+        return cls(
+            np.asarray(mod.GetArrayFromImage(img)),
+            img.GetSpacing(),
+            img.GetOrigin(),
+            img.GetDirection(),
+        )
+
+    def to_sitk(self):
+        """Convert to a SimpleITK image (requires the caller's SimpleITK)."""
+        import SimpleITK as sitk  # caller dependency, not ours
+
+        out = sitk.GetImageFromArray(self.data)
+        out.SetSpacing(self.spacing)
+        out.SetOrigin(self.origin)
+        out.SetDirection(self.direction)
+        return out
+
     # -- sitk-like accessors -------------------------------------------------
     @property
     def size(self) -> tuple[int, int, int]:

@@ -95,3 +95,52 @@ def test_mask_infill_path(rng, tmp_path):
         dtype="float32",
     )
     assert np.isfinite(d).all()
+
+
+def test_medical_image_sitk_ducktype_roundtrip():
+    """from_sitk accepts any SimpleITK-shaped object (module-level
+    GetArrayFromImage + GetSpacing/GetOrigin/GetDirection)."""
+    import sys
+    import types
+
+    from convexadam_tpu.geometry.image import MedicalImage
+
+    mod = types.ModuleType("fake_sitk_mod")
+
+    class FakeImage:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def GetSpacing(self):
+            return (1.0, 2.0, 3.0)
+
+        def GetOrigin(self):
+            return (-5.0, 0.0, 5.0)
+
+        def GetDirection(self):
+            return (1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0)
+
+    FakeImage.__module__ = "fake_sitk_mod"
+    mod.FakeImage = FakeImage
+    mod.GetArrayFromImage = lambda im: im._arr
+    sys.modules["fake_sitk_mod"] = mod
+
+    arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    mi = MedicalImage.from_sitk(FakeImage(arr))
+    np.testing.assert_array_equal(mi.data, arr)
+    assert mi.spacing == (1.0, 2.0, 3.0)
+    assert mi.origin == (-5.0, 0.0, 5.0)
+
+
+def test_convex_adam_translation_compat_medicalimage(rng):
+    """The compat translation entry accepts MedicalImage directly and
+    recovers a synthetic whole-voxel shift."""
+    from convexadam_tpu.compat import convex_adam_translation
+    from convexadam_tpu.geometry.image import MedicalImage
+
+    vol, mov = _pair(rng, shape=(28, 28, 28), shift=(2, 0, 0))
+    fixed = MedicalImage(vol)
+    moving = MedicalImage(mov)
+    t, moved, _ = convex_adam_translation(fixed, moving)
+    assert isinstance(moved, MedicalImage)
+    assert len(t) == 3 and all(np.isfinite(t))

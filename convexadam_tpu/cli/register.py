@@ -36,6 +36,7 @@ def convex_adam_from_files(
     verbose: bool = False,
     multi_iters: "tuple[int, ...] | None" = None,
     multi_smoothings: "tuple[int, ...] | None" = None,
+    semantic: bool = False,
 ) -> "Path | list[Path]":
     """File-level pipeline (reference ``convex_adam``, convex_adam_MIND.py:205-248).
 
@@ -82,8 +83,22 @@ def convex_adam_from_files(
         moving = mask_infill(moving, np.asarray(mask_moving, np.float32))
 
     dt = cfg.compute_dtype
-    feat_fix = mindssc(jnp.asarray(fixed), cfg.mind_r, cfg.mind_d, dtype=dt)
-    feat_mov = mindssc(jnp.asarray(moving), cfg.mind_r, cfg.mind_d, dtype=dt)
+    if semantic:
+        # nnU-Net front-end: inputs are predicted label maps
+        # (convex_adam_nnUNet.py:19-38,162-191)
+        from convexadam_tpu.core.features import (  # noqa: PLC0415
+            semantic_features,
+        )
+
+        pf = np.asarray(fixed).round().astype(np.int32)
+        pm = np.asarray(moving).round().astype(np.int32)
+        nl = int(max(pf.max(), pm.max())) + 1
+        feat_fix, feat_mov = semantic_features(
+            jnp.asarray(pf), jnp.asarray(pm), num_labels=nl, dtype=dt
+        )
+    else:
+        feat_fix = mindssc(jnp.asarray(fixed), cfg.mind_r, cfg.mind_d, dtype=dt)
+        feat_mov = mindssc(jnp.asarray(moving), cfg.mind_r, cfg.mind_d, dtype=dt)
 
     if multi_iters:
         smoothings = tuple(multi_smoothings or (0, 3, 5))
@@ -145,6 +160,11 @@ def main(argv=None):
         "--multi_smoothings", type=str, default="0,3,5",
         help="comma list of post-smoothing cascades for --multi_iters",
     )
+    parser.add_argument(
+        "--semantic", action="store_true",
+        help="inputs are predicted label maps; use weighted one-hot "
+        "semantic features (the reference's convex_adam_nnUNet CLI)",
+    )
     args = parser.parse_args(argv)
 
     os.makedirs(args.result_path, exist_ok=True)
@@ -174,6 +194,7 @@ def main(argv=None):
         multi_smoothings=tuple(
             int(x) for x in args.multi_smoothings.split(",")
         ),
+        semantic=args.semantic,
     )
     print(f"wrote {out}")
 

@@ -140,3 +140,27 @@ def test_console_script_entry_points_resolve():
     for target in scripts.values():
         mod, attr = target.split(":")
         assert callable(getattr(importlib.import_module(mod), attr))
+
+
+def test_register_cli_semantic(tmp_path):
+    """--semantic: predicted label maps through the nnU-Net front-end
+    (reference convex_adam_nnUNet.py:162-191 CLI)."""
+    from convexadam_tpu.cli import register
+
+    rng = np.random.default_rng(9)
+    affine = np.eye(4)
+    seg = np.zeros((24, 24, 24), np.float32)
+    o = rng.integers(-2, 3, 3)
+    seg[6 + o[0]:18 + o[0], 6 + o[1]:18 + o[1], 6 + o[2]:18 + o[2]] = 1
+    seg2 = np.roll(seg, (2, -1, 1), axis=(0, 1, 2))
+    save_volume_nib_order(seg, affine, tmp_path / "pf.nii.gz")
+    save_volume_nib_order(seg2, affine, tmp_path / "pm.nii.gz")
+    register.main([
+        "-f", str(tmp_path / "pf.nii.gz"), "-m", str(tmp_path / "pm.nii.gz"),
+        "--semantic", "--grid_sp", "3", "--disp_hw", "2",
+        "--selected_niter", "6", "--grid_sp_adam", "2",
+        "--result_path", str(tmp_path / "out"),
+    ])
+    disp, _ = load_volume_nib_order(tmp_path / "out" / "disp.nii.gz")
+    assert disp.shape == (24, 24, 24, 3)
+    assert np.isfinite(np.asarray(disp)).all()

@@ -8,6 +8,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from convexadam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Warp a moving image by a field")
     parser.add_argument("--input_field", required=True,
                         help="displacement field (.nii.gz), full resolution")

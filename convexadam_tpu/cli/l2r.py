@@ -10,6 +10,8 @@ from pathlib import Path
 
 
 def main(argv=None):
+    from convexadam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="L2R self-configuring driver")
     parser.add_argument("--data_dir", required=True)
     parser.add_argument("--task_name", required=True)

@@ -129,6 +129,8 @@ def convex_adam_from_files(
 
 
 def main(argv=None):
+    from convexadam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="ConvexAdam MIND registration (TPU)")
     parser.add_argument("-f", "--path_img_fixed", type=str, required=True)
     parser.add_argument("-m", "--path_img_moving", type=str, required=True)

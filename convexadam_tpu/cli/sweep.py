@@ -35,6 +35,8 @@ def _load_data(config):
 
 
 def main(argv=None):
+    from convexadam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="self-configuring sweeps")
     parser.add_argument("stage", choices=["convex", "adam", "infer"])
     parser.add_argument("configfile")

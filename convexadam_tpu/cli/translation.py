@@ -7,6 +7,8 @@ from pathlib import Path
 
 
 def main(argv=None):
+    from convexadam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description="Apply convex Adam translation to an image."
     )

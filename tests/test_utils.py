@@ -33,3 +33,15 @@ def test_profile_trace_writes_trace(tmp_path):
         jnp.sum(jnp.ones((128, 128))).block_until_ready()
     files = list(tmp_path.rglob("*"))
     assert any(f.is_file() for f in files), "no trace artifacts written"
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import jax
+
+    from convexadam_tpu.utils.cache import enable_compilation_cache
+
+    d = enable_compilation_cache(str(tmp_path / "jcache"))
+    assert d and (tmp_path / "jcache").is_dir()
+    assert jax.config.jax_compilation_cache_dir == d
+    monkeypatch.setenv("CONVEXADAM_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache() is None

@@ -19,6 +19,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from convexadam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # warm-up compile skipped on repeat runs
+
     from convexadam_tpu.core.warp import resize_trilinear
     from convexadam_tpu.pipeline.convex_adam import ConvexAdamConfig, convex_adam_jax
 

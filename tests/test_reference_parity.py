@@ -170,3 +170,35 @@ def test_semantic_pipeline_matches_reference_within_tiebreak_envelope():
         )
 
     assert abs(dice_with(ours) - dice_with(rd)) < 0.01
+
+
+def test_deformable_ground_truth_recovery_matches_reference():
+    """Deformable (non-rigid) ground truth: ``fixed = warp(base, phi)`` for
+    a known smooth 3-voxel-scale field phi, ``moving = base`` — the true
+    displacement is exactly phi.  The fixture stores the case AND the
+    unmodified reference's recovered field (torch CPU f32, 60 iters).
+
+    Asserts (a) our field agrees with the reference's pointwise (p95 <
+    0.1 voxels; measured 0.031), and (b) our ground-truth recovery error is
+    no worse than the reference's (measured identical: mean 0.778 voxels on
+    a |phi|-mean-2.48 field of smooth featureless noise)."""
+    ref = np.load(_HERE / "reference_deformable_64.npz")
+    cfg = ConvexAdamConfig(
+        mind_r=1, mind_d=2, lambda_weight=1.25, grid_sp=4, disp_hw=3,
+        selected_niter=60, selected_smooth=0, grid_sp_adam=2, ic=True,
+        dtype="float32",
+    )
+    ours = np.asarray(
+        convex_adam_jax(jnp.asarray(ref["fixed"]), jnp.asarray(ref["moving"]), cfg),
+        np.float32,
+    )
+    cross = np.sqrt(((ours - ref["disp_ref"]) ** 2).sum(-1))
+    assert np.percentile(cross, 95) < 0.1, np.percentile(cross, 95)
+
+    gt = ref["gt"]
+    c = 8
+    err_ours = np.sqrt(((ours - gt) ** 2).sum(-1))[c:-c, c:-c, c:-c].mean()
+    err_ref = np.sqrt(
+        ((ref["disp_ref"] - gt) ** 2).sum(-1)
+    )[c:-c, c:-c, c:-c].mean()
+    assert err_ours <= err_ref + 0.02, (err_ours, err_ref)

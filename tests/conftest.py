@@ -8,7 +8,8 @@ the driver dry-runs ``__graft_entry__.dryrun_multichip``.
 import os
 
 # force CPU (the ambient environment may pin JAX_PLATFORMS to a TPU plugin);
-# set CONVEXADAM_TEST_PLATFORM to override (e.g. to run the suite on TPU).
+# set CONVEXADAM_TEST_PLATFORM=axon to run the suite on the real chip
+# (the TPU plugin's platform name is "axon", not "tpu").
 _platform = os.environ.get("CONVEXADAM_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
@@ -23,6 +24,12 @@ import jax  # noqa: E402
 # jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
 # overriding the env var — force it back before any backend initializes.
 jax.config.update("jax_platforms", _platform)
+
+if _platform != "cpu":
+    # on-chip suite runs pay 30s+ remote compiles per program — persist them
+    from convexadam_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+    enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

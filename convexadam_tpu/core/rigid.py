@@ -22,6 +22,24 @@ from jax import lax
 from convexadam_tpu.core.warp import resize_trilinear
 
 
+def _f32_matmuls(fn):
+    """Force full-precision matmuls inside ``fn``.
+
+    XLA:TPU matmuls default to bfloat16 accumulation even for f32 inputs;
+    the Kabsch covariance / TPS system matrices here are tiny and
+    precision-critical (measured on-chip: 4e-3 rigid-transform error at
+    default precision vs <1e-4 at float32).
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_f32_matmuls
 def find_rigid_3d(x: jax.Array, y: jax.Array) -> jax.Array:
     """Kabsch: the rigid 4x4 transform T with y ≈ T @ x (points are (N, 3)
     or (N, 4) homogeneous; only the first 3 columns are used).
@@ -41,6 +59,7 @@ def find_rigid_3d(x: jax.Array, y: jax.Array) -> jax.Array:
     return T
 
 
+@_f32_matmuls
 def least_trimmed_rigid(
     fixed_pts: jax.Array, moving_pts: jax.Array, iters: int = 5
 ) -> jax.Array:
@@ -75,6 +94,7 @@ def least_trimmed_rigid(
     return x.T
 
 
+@_f32_matmuls
 def rigid_from_field(
     disp: jax.Array,
     mask: "jax.Array | None" = None,
@@ -132,6 +152,7 @@ def _tps_dist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sqrt(d2)
 
 
+@_f32_matmuls
 def tps_fit(c: jax.Array, f: jax.Array, lambd: float = 0.0) -> jax.Array:
     """Fit TPS coefficients mapping control points ``c`` (N,3) to values
     ``f`` (N,F) (l2r_2021_convexAdam_task1_docker.py:199-223)."""
@@ -147,6 +168,7 @@ def tps_fit(c: jax.Array, f: jax.Array, lambd: float = 0.0) -> jax.Array:
     return jnp.linalg.solve(A, v)
 
 
+@_f32_matmuls
 def tps_eval(x: jax.Array, c: jax.Array, theta: jax.Array) -> jax.Array:
     """Evaluate a fitted TPS at points ``x`` (M,3)
     (l2r_2021_convexAdam_task1_docker.py:238-243)."""
@@ -157,6 +179,7 @@ def tps_eval(x: jax.Array, c: jax.Array, theta: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "step", "lambd"))
+@_f32_matmuls
 def thin_plate_dense(
     x1: jax.Array,
     y1: jax.Array,

@@ -156,8 +156,10 @@ def convex_adam(
         verbose=verbose,
     )
     os.makedirs(result_path, exist_ok=True)
+    # the reference nib.saves the float64 array convex_adam_pt returns
+    # (convex_adam_MIND.py:246-248) — keep the on-disk dtype identical
     save_volume_nib_order(
-        disp.astype(np.float32),
+        np.asarray(disp, np.float64),
         affine,
         Path(result_path) / "disp.nii.gz",
     )

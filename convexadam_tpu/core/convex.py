@@ -212,12 +212,23 @@ def convex_displacement(
 ) -> jax.Array:
     """One convex-stage direction: correlate + coupled convex, dispatching
     to :func:`correlate_coupled_streamed` when the dense (K³, N) volume
-    would exceed ``stream_threshold`` bytes."""
+    would exceed ``stream_threshold`` bytes.
+
+    Note: crossing the threshold switches a TPU run from the MXU
+    coupled-convex form to the streamed exact-VPU-equivalent form, so
+    argmin tie-breaks (~1% of cells, see module docstring) change
+    discontinuously between near-identical configs — not a regression when
+    comparing sweep settings across the boundary."""
     from convexadam_tpu.core.cost_volume import correlate, displacement_mesh
 
     K3 = (2 * disp_hw + 1) ** 3
     n = int(np.prod(feat_fix.shape[1:]))
+    # the TPU Pallas cost-volume path materialises the volume in float32
+    # regardless of compute_dtype — size the estimate by what is actually
+    # allocated, or bf16 configs near the threshold still fail to compile
     itemsize = jnp.dtype(compute_dtype).itemsize
+    if metric == "ssd" and jax.default_backend() == "tpu":
+        itemsize = max(itemsize, 4)
     if K3 * n * itemsize * 2 > stream_threshold:
         return correlate_coupled_streamed(
             feat_fix, feat_mov, disp_hw, metric=metric,

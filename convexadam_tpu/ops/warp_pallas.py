@@ -56,8 +56,16 @@ def make_sequential_vmap(fn):
 
     @wrapped.def_vmap
     def _rule(axis_size, in_batched, *arrays):
-        del axis_size
         idx = [i for i, b in enumerate(in_batched) if b]
+        if not idx:
+            # all-closed-over vmap: no argument carries the batch axis —
+            # run once and broadcast (mirrors mind_pallas's in_batched[0]
+            # branch; lax.map over an empty tuple would error instead)
+            out = wrapped(*arrays)
+            out = jax.tree.map(
+                lambda o: jnp.broadcast_to(o, (axis_size,) + o.shape), out
+            )
+            return out, jax.tree.map(lambda _: True, out)
 
         def call_one(bt):
             full = list(arrays)

@@ -172,7 +172,7 @@ def _load_case(task: L2RTask, pair: dict):
     inputs, main_for_l2r3_nnUNet.py:76-80 — ``images → predictedlabels`` path
     substitution; falls back to GT ``labels`` when no predictions exist)."""
     fixed, affine = load_volume_nib_order(task.task_dir / pair["fixed"])
-    moving, _ = load_volume_nib_order(task.task_dir / pair["moving"])
+    moving, affine_mov = load_volume_nib_order(task.task_dir / pair["moving"])
     fixed = np.asarray(fixed, np.float32)
     moving = np.asarray(moving, np.float32)
 
@@ -187,11 +187,14 @@ def _load_case(task: L2RTask, pair: dict):
         kf = np.loadtxt(kf_path, delimiter=",").reshape(-1, 3)
         km = np.loadtxt(km_path, delimiter=",").reshape(-1, 3)
         if task.keypoint_space == "world":
-            # mm rows in physical space → voxel indices via the inverse
-            # affine (homogeneous); both images share the fixed grid in L2R
+            # mm rows in physical space → voxel indices via each image's OWN
+            # inverse affine (homogeneous).  L2R pairs share a grid, but a
+            # task whose moving image is not resampled onto the fixed grid
+            # would otherwise get silently wrong moving-keypoint voxels.
             inv = np.linalg.inv(affine)
+            inv_m = np.linalg.inv(affine_mov)
             kf = kf @ inv[:3, :3].T + inv[:3, 3]
-            km = km @ inv[:3, :3].T + inv[:3, 3]
+            km = km @ inv_m[:3, :3].T + inv_m[:3, 3]
 
     # per-axis voxel size from the affine columns — the official evaluator
     # reports TRE in mm, not voxels

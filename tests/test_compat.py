@@ -65,6 +65,12 @@ def test_convex_adam_file_to_file(rng, tmp_path):
     disp, aff = load_volume_nib_order(tmp_path / "out" / "disp.nii.gz")
     assert disp.shape == (24, 24, 24, 3)
     np.testing.assert_allclose(aff, affine)
+    # the reference writes the float64 field convex_adam_pt returns
+    # (convex_adam_MIND.py:246-248); the on-disk dtype must match
+    import gzip as _gzip
+    import struct as _struct
+    raw = _gzip.decompress((tmp_path / "out" / "disp.nii.gz").read_bytes())
+    assert _struct.unpack_from("<h", raw, 70)[0] == 64  # NIFTI DT_FLOAT64
 
 
 def test_apply_convex_compat(rng):

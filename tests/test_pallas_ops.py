@@ -305,3 +305,21 @@ def test_explicit_grad_step_matches_autodiff(rng):
     np.testing.assert_allclose(
         np.asarray(g_e), np.asarray(g_a), rtol=1e-4, atol=1e-6
     )
+
+
+def test_sequential_vmap_all_closed_over(rng):
+    """A vmap where no wrapped argument carries the batch axis (everything
+    closed over) must broadcast like the mind_pallas wrapper instead of
+    erroring on an empty lax.map."""
+    import jax
+    from convexadam_tpu.ops.warp_pallas import make_sequential_vmap
+
+    f = make_sequential_vmap(lambda a, b: a * 2.0 + b.sum())
+    a = jnp.asarray(rng.standard_normal((4, 5)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((3,)).astype(np.float32))
+    out = jax.vmap(lambda _: f(a, b))(jnp.arange(6.0))
+    assert out.shape == (6, 4, 5)
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(np.asarray(a * 2.0 + b.sum()), (6, 4, 5)),
+        rtol=1e-6,
+    )

@@ -212,9 +212,15 @@ def _read_mha(raw: bytes, path: Path) -> MedicalImage:
     ]
     offset = [float(s) for s in fields.get("Offset", fields.get("Position", "0 0 0")).split()]
     tm = fields.get("TransformMatrix", fields.get("Orientation"))
-    direction = (
-        [float(s) for s in tm.split()] if tm else list(np.eye(ndims).ravel())
-    )
+    if tm:
+        # MetaIO stores the axis direction cosines as consecutive triplets
+        # (row i = direction of index axis i); the sitk/ITK direction matrix
+        # has the axis cosines as COLUMNS — transpose on the way in
+        direction = list(
+            np.array([float(s) for s in tm.split()]).reshape(3, 3).T.ravel()
+        )
+    else:
+        direction = list(np.eye(ndims).ravel())
     msb = fields.get("BinaryDataByteOrderMSB", "False").lower() == "true" or (
         fields.get("ElementByteOrderMSB", "False").lower() == "true"
     )
@@ -258,7 +264,9 @@ def _write_mha(img: MedicalImage, compressed: bool = False) -> bytes:
         "BinaryData = True",
         "BinaryDataByteOrderMSB = False",
         f"CompressedData = {'True' if compressed else 'False'}",
-        "TransformMatrix = " + " ".join(f"{v:g}" for v in img.direction),
+        # axis cosines as rows in the file (transpose of the sitk direction)
+        "TransformMatrix = "
+        + " ".join(f"{v:g}" for v in img.direction_matrix.T.ravel()),
         "Offset = " + " ".join(f"{v:g}" for v in img.origin),
         "CenterOfRotation = 0 0 0",
         "ElementSpacing = " + " ".join(f"{v:g}" for v in img.spacing),

@@ -37,6 +37,9 @@ def convex_adam_from_files(
     multi_iters: "tuple[int, ...] | None" = None,
     multi_smoothings: "tuple[int, ...] | None" = None,
     semantic: bool = False,
+    cost_metric: str = "ssd",
+    cost_smooth_passes: int = 2,
+    adam_smooth_repeats: int = 3,
 ) -> "Path | list[Path]":
     """File-level pipeline (reference ``convex_adam``, convex_adam_MIND.py:205-248).
 
@@ -71,6 +74,9 @@ def convex_adam_from_files(
         grid_sp_adam=grid_sp_adam,
         ic=ic,
         dtype=dtype,
+        cost_metric=cost_metric,
+        cost_smooth_passes=cost_smooth_passes,
+        adam_smoother=("box", 3, adam_smooth_repeats),
     )
 
     t0 = time.time()
@@ -167,6 +173,21 @@ def main(argv=None):
         help="inputs are predicted label maps; use weighted one-hot "
         "semantic features (the reference's convex_adam_nnUNet CLI)",
     )
+    parser.add_argument(
+        "--cost_metric", type=str, default="ssd", choices=("ssd", "sad"),
+        help="cost-volume metric ('sad' = the OASIS task-3 recipe, "
+        "l2r_2021_convexAdam_task3_docker.py:54)",
+    )
+    parser.add_argument(
+        "--cost_smooth_passes", type=int, default=2,
+        help="3^3 box passes over the cost volume (1 in the task-2/3 "
+        "recipes, l2r_2021_convexAdam_task2_docker.py:60)",
+    )
+    parser.add_argument(
+        "--adam_smooth_repeats", type=int, default=3,
+        help="cascaded 3^3 boxes on the Adam grid per iteration (2 in the "
+        "task-3 recipe, l2r_2021_convexAdam_task3_docker.py:191)",
+    )
     args = parser.parse_args(argv)
 
     os.makedirs(args.result_path, exist_ok=True)
@@ -197,6 +218,9 @@ def main(argv=None):
             int(x) for x in args.multi_smoothings.split(",")
         ),
         semantic=args.semantic,
+        cost_metric=args.cost_metric,
+        cost_smooth_passes=args.cost_smooth_passes,
+        adam_smooth_repeats=args.adam_smooth_repeats,
     )
     print(f"wrote {out}")
 

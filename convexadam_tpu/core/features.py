@@ -150,6 +150,7 @@ def semantic_features(
     num_labels: int,
     mult: float = 10.0,
     dtype=jnp.float32,
+    weights: "jax.Array | None" = None,
 ) -> tuple[jax.Array, jax.Array]:
     """nnU-Net semantic one-hot features with inverse-frequency weighting.
 
@@ -160,24 +161,48 @@ def semantic_features(
     mean **over jointly-present labels**, scaled by ``mult``.  Labels absent
     from both volumes get zero weight (the reference drops those channels;
     zero-weighting is SSD-equivalent and keeps shapes static for XLA).
+
+    ``weights``: optional precomputed per-label weights (num_labels,) that
+    replace the per-pair derivation (before the ``mult`` scale) — the OASIS
+    task-3 script freezes the weights of one template pair for the whole
+    test set (l2r_2021_convexAdam_task3_docker.py:118-120,140-141).
     """
-    eps = 1e-32
     pf = pred_fixed.astype(jnp.int32)
     pm = pred_moving.astype(jnp.int32)
-    counts = (
-        jnp.bincount(pf.reshape(-1), length=num_labels)
-        + jnp.bincount(pm.reshape(-1), length=num_labels)
-    ).astype(jnp.float32)
-    present = counts > 0
-    w = 1.0 / jnp.power(counts + eps, 0.3)
-    w = jnp.where(present, w, 0.0)
-    w_mean = jnp.sum(w) / jnp.maximum(jnp.sum(present), 1)
-    w = (w / w_mean) * mult
+    if weights is None:
+        eps = 1e-32
+        counts = (
+            jnp.bincount(pf.reshape(-1), length=num_labels)
+            + jnp.bincount(pm.reshape(-1), length=num_labels)
+        ).astype(jnp.float32)
+        present = counts > 0
+        w = 1.0 / jnp.power(counts + eps, 0.3)
+        w = jnp.where(present, w, 0.0)
+        w_mean = jnp.sum(w) / jnp.maximum(jnp.sum(present), 1)
+        w = (w / w_mean) * mult
+    else:
+        w = weights.astype(jnp.float32) * mult
 
     oh_f = jax.nn.one_hot(pf, num_labels, dtype=dtype, axis=0)  # (L, H, W, D)
     oh_m = jax.nn.one_hot(pm, num_labels, dtype=dtype, axis=0)
     wv = w.astype(dtype).reshape(num_labels, 1, 1, 1)
     return oh_f * wv, oh_m * wv
+
+
+def semantic_template_weights(
+    seg_a: jax.Array, seg_b: jax.Array, num_labels: int
+) -> jax.Array:
+    """Frozen per-label weights from one template pair, as the OASIS task-3
+    script derives them once and reuses for every case
+    (l2r_2021_convexAdam_task3_docker.py:118-120):
+    ``w = 1/(bincount(a)+bincount(b))^0.3; w /= w.mean()`` — note the mean is
+    over ALL labels (no joint-presence restriction) in that script."""
+    counts = (
+        jnp.bincount(seg_a.astype(jnp.int32).reshape(-1), length=num_labels)
+        + jnp.bincount(seg_b.astype(jnp.int32).reshape(-1), length=num_labels)
+    ).astype(jnp.float32)
+    w = 1.0 / jnp.power(counts, 0.3)
+    return w / jnp.mean(w)
 
 
 # ---------------------------------------------------------------------------

@@ -1,11 +1,17 @@
 """Composed challenge-entry flows (reference root scripts, SURVEY.md §2.4).
 
-Two end-to-end compositions the library-level capabilities plug into:
+End-to-end compositions the library-level capabilities plug into:
 
 * **Task1 (Abdomen MR-CT)** — register, densify the masked field with a
   thin-plate spline, and resample the physical displacement field back into
   the original (un-cropped, un-resampled) image space
   (l2r_2021_convexAdam_task1_docker.py:38-105, 283-413).
+* **Task2 (Lung CT exhale-inhale)** — EDT lung-mask infill, single
+  box-filter cost volume, no inverse consistency, Adam at grid 2,
+  half-resolution submission field (l2r_2021_convexAdam_task2_docker.py:194-332).
+* **Task3 (OASIS brain MRI)** — frozen-template-weighted one-hot features,
+  SAD cost metric, double Adam smoothing, half-resolution field
+  (l2r_2021_convexAdam_task3_docker.py:109-233).
 * **CuRIOUS 2020 (MRI-US)** — multichannel MIND, mask-gated cost volumes,
   coupled convex + inverse consistency, least-trimmed-squares rigid
   extraction from the deformable field, landmark TRE evaluation
@@ -191,6 +197,106 @@ def task1_field_to_original(
     half = tuple(s // 2 for s in (H0, W0, D0))
     disp_half = resize_trilinear(disp_out, half, align_corners=False)
     return np.asarray(disp_half, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Task 2: lung CT exhale-inhale
+# ---------------------------------------------------------------------------
+
+TASK2_CONFIG = ConvexAdamConfig(
+    mind_r=1, mind_d=2, lambda_weight=0.65, grid_sp=4, disp_hw=6,
+    selected_niter=50, selected_smooth=3, grid_sp_adam=2, ic=False,
+    cost_smooth_passes=1,
+)
+"""The lung-CT recipe (l2r_2021_convexAdam_task2_docker.py): grid_sp=4,
+disp_hw=6 (:210-211), a SINGLE cost-volume box filter (:60), no inverse
+consistency (:245-248 commented out), Adam at grid 2 with 50 iterations and
+lambda=0.65 (:276-278), triple 3^3 post-smoothing (:302)."""
+
+
+def task2_case(
+    img_fixed: np.ndarray,
+    img_moving: np.ndarray,
+    fixed_mask: np.ndarray,
+    moving_mask: np.ndarray,
+    cfg: ConvexAdamConfig = TASK2_CONFIG,
+) -> dict:
+    """One lung-CT exhale-inhale case (l2r_2021_convexAdam_task2_docker.py:194-332):
+    EDT nearest-inside infill of both volumes outside their lung masks
+    (:215-226, shared with the packaged use_mask path), the :data:`TASK2_CONFIG`
+    registration, and the half-resolution submission field (:305).
+
+    Returns {"disp": (H, W, D, 3) voxels, "disp_half": (3, H/2, W/2, D/2)
+    — the submission ``.npz`` payload layout}.
+    """
+    from convexadam_tpu.pipeline.preprocess import mask_infill
+
+    fixed_r = mask_infill(np.asarray(img_fixed, np.float32),
+                          np.asarray(fixed_mask, np.float32))
+    moving_r = mask_infill(np.asarray(img_moving, np.float32),
+                           np.asarray(moving_mask, np.float32))
+    disp = convex_adam_jax(
+        jnp.asarray(fixed_r, jnp.float32), jnp.asarray(moving_r, jnp.float32), cfg
+    )  # (H, W, D, 3)
+    H, W, D = fixed_r.shape
+    disp_half = resize_trilinear(
+        jnp.moveaxis(disp, -1, 0), (H // 2, W // 2, D // 2), align_corners=False
+    )
+    return {
+        "disp": np.asarray(disp, np.float32),
+        "disp_half": np.asarray(disp_half, np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Task 3: OASIS brain MRI (semantic features, SAD cost)
+# ---------------------------------------------------------------------------
+
+TASK3_CONFIG = ConvexAdamConfig(
+    lambda_weight=1.25, grid_sp=2, disp_hw=3, selected_niter=100,
+    selected_smooth=0, grid_sp_adam=2, ic=False,
+    cost_metric="sad", cost_smooth_passes=1, adam_smoother=("box", 3, 2),
+)
+"""The OASIS recipe (l2r_2021_convexAdam_task3_docker.py): grid_sp=2,
+disp_hw=3 (:109-110), SAD (absolute-difference) cost with a single box
+filter (:54,:47), no inverse consistency, Adam with 100 iterations,
+lambda=1.25 and DOUBLE (not triple) 3^3 smoothing (:186-191)."""
+
+
+def task3_case(
+    seg_fixed: np.ndarray,
+    seg_moving: np.ndarray,
+    num_labels: int,
+    template_weights: "np.ndarray | None" = None,
+    cfg: ConvexAdamConfig = TASK3_CONFIG,
+) -> dict:
+    """One OASIS inter-subject case (l2r_2021_convexAdam_task3_docker.py:109-233):
+    weighted one-hot features of the predicted segmentations — with the
+    script's frozen template weights when given (:118-120, derive them via
+    :func:`~convexadam_tpu.core.features.semantic_template_weights`), else
+    per-pair weights — then the :data:`TASK3_CONFIG` registration and the
+    half-resolution submission field (:216).
+
+    Returns {"disp": (H, W, D, 3) voxels, "disp_half": (3, H/2, W/2, D/2)}.
+    """
+    from convexadam_tpu.core.features import semantic_features
+    from convexadam_tpu.pipeline.convex_adam import convex_adam_features
+
+    H, W, D = np.asarray(seg_fixed).shape
+    ff, fm = semantic_features(
+        jnp.asarray(seg_fixed), jnp.asarray(seg_moving),
+        num_labels=num_labels, mult=10.0, dtype=cfg.compute_dtype,
+        weights=None if template_weights is None
+        else jnp.asarray(template_weights, jnp.float32),
+    )
+    disp = convex_adam_features(ff, fm, cfg)  # (H, W, D, 3)
+    disp_half = resize_trilinear(
+        jnp.moveaxis(disp, -1, 0), (H // 2, W // 2, D // 2), align_corners=False
+    )
+    return {
+        "disp": np.asarray(disp, np.float32),
+        "disp_half": np.asarray(disp_half, np.float32),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,20 @@ class ConvexAdamConfig:
     selected_smooth: int = 0
     grid_sp_adam: int = 2
     ic: bool = True
+    # cost-volume metric: "ssd" (packaged pipelines) or "sad" (the OASIS
+    # task-3 script uses absolute differences,
+    # l2r_2021_convexAdam_task3_docker.py:54)
+    cost_metric: str = "ssd"
+    # number of 3^3 box-filter passes over the cost volume: 2 in the
+    # packaged correlate (convex_adam_utils.py:83-85), 1 in the lung task-2
+    # and OASIS task-3 forks (l2r_2021_convexAdam_task2_docker.py:60)
+    cost_smooth_passes: int = 2
+    # smoother applied to the raw Adam grid each iteration (see
+    # core.adam.resolve_smoother): the packaged pipelines cascade three 3^3
+    # boxes (convex_adam_MIND.py:166); task-3 uses two
+    # (l2r_2021_convexAdam_task3_docker.py:191); the stage-2 sweep swaps in
+    # Gaussian/Kovesi bank entries.
+    adam_smoother: tuple = ("box", 3, 3)
     # dtype for features / cost volume: "auto" (bfloat16 on TPU, float32
     # elsewhere — the TPU-native equivalent of the reference's
     # device-conditional fp16 policy, convex_adam_MIND.py:79,89-91),
@@ -96,14 +110,20 @@ def _convex_stage(
     fix_s = avg_pool3d(feat_fix, g, stride=g)
     mov_s = avg_pool3d(feat_mov, g, stride=g)
 
-    disp_soft = convex_displacement(fix_s, mov_s, cfg.disp_hw)
+    disp_soft = convex_displacement(
+        fix_s, mov_s, cfg.disp_hw,
+        metric=cfg.cost_metric, smooth_passes=cfg.cost_smooth_passes,
+    )
 
     if cfg.ic:
         h, w, d = disp_soft.shape[1:]
         scale = jnp.array(
             [(h - 1) / 2.0, (w - 1) / 2.0, (d - 1) / 2.0], jnp.float32
         ).reshape(3, 1, 1, 1)
-        disp_soft_r = convex_displacement(mov_s, fix_s, cfg.disp_hw)
+        disp_soft_r = convex_displacement(
+            mov_s, fix_s, cfg.disp_hw,
+            metric=cfg.cost_metric, smooth_passes=cfg.cost_smooth_passes,
+        )
         disp_ice, _ = inverse_consistency(
             disp_soft / scale, disp_soft_r / scale, iters=15
         )
@@ -153,6 +173,7 @@ def _adam_stage(
         lambda_weight=cfg.lambda_weight,
         niter=cfg.selected_niter,
         snapshot_iters=cfg.snapshot_iters,
+        smoother=cfg.adam_smoother,
     )
 
     def upsample_and_smooth(field):
@@ -259,6 +280,7 @@ def convex_adam_multi_output(
         lambda_weight=cfg.lambda_weight,
         niter=max(iters),
         snapshot_iters=iters,
+        smoother=cfg.adam_smoother,
     )
 
     outs = []

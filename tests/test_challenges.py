@@ -132,3 +132,75 @@ def test_curious_case_end_to_end():
     assert tre_rigid < 0.45 * tre0, (tre0, tre_rigid)
     assert res["disp"].shape == shape + (3,)
     assert res["rigid"].shape == (4, 4)
+
+
+def test_task2_case_recovers_shift():
+    """Task2 lung-CT recipe (mask infill → single-box-filter cost volume →
+    no-IC convex → Adam(50, 0.65) → triple smoothing → half-res field,
+    l2r_2021_convexAdam_task2_docker.py:194-332) must recover a synthetic
+    translation inside the lung mask."""
+    shape = (48, 48, 48)
+    vol = _smooth_volume(shape, seed=3)
+    shift = (4, -3, 2)
+    moving = np.roll(vol, shift, axis=(0, 1, 2))
+    mask = np.zeros(shape, np.float32)
+    mask[6:-6, 6:-6, 6:-6] = 1.0
+
+    from convexadam_tpu.pipeline.challenges import task2_case
+
+    out = task2_case(vol, moving, mask, np.roll(mask, shift, axis=(0, 1, 2)))
+    assert out["disp"].shape == shape + (3,)
+    assert out["disp_half"].shape == (3, 24, 24, 24)
+    c = 14
+    err = np.abs(out["disp"][c:-c, c:-c, c:-c] - np.array(shift, np.float32))
+    frac_ok = float(np.mean(np.all(err < 1.0, axis=-1)))
+    assert frac_ok > 0.9, f"only {frac_ok:.2%} within 1 voxel"
+    # the half-res field carries the same (unscaled) voxel displacements
+    err_h = np.abs(
+        np.moveaxis(out["disp_half"], 0, -1)[7:-7, 7:-7, 7:-7]
+        - np.array(shift, np.float32)
+    )
+    assert float(np.mean(np.all(err_h < 1.0, axis=-1))) > 0.9
+
+
+def _label_volume(shape, seed):
+    # chunky organ-like label blobs: quantile-digitized LARGE-scale smoothed
+    # noise (fine speckle labels make the one-hot cost landscape degenerate
+    # at grid_sp=2 — not representative of anatomy)
+    rng = np.random.default_rng(seed)
+    v = uniform_filter(rng.standard_normal(shape).astype(np.float32), 6)
+    q = np.quantile(v, [0.25, 0.5, 0.75])
+    return np.digitize(v, q).astype(np.int32)  # labels 0..3
+
+
+def test_task3_case_recovers_shift():
+    """Task3 OASIS recipe (one-hot features, SAD cost, single box filter,
+    no IC, Adam(100, 1.25) with DOUBLE smoothing, half-res field,
+    l2r_2021_convexAdam_task3_docker.py:109-233) must recover a synthetic
+    translation, with per-pair and frozen template weights alike."""
+    import jax.numpy as jnp
+
+    from convexadam_tpu.core.features import semantic_template_weights
+    from convexadam_tpu.pipeline.challenges import task3_case
+
+    shape = (48, 48, 48)
+    seg = _label_volume(shape, seed=5)
+    shift = (2, -3, 1)
+    seg_m = np.roll(seg, shift, axis=(0, 1, 2))
+
+    out = task3_case(seg, seg_m, num_labels=4)
+    assert out["disp"].shape == shape + (3,)
+    assert out["disp_half"].shape == (3, 24, 24, 24)
+    c = 10
+    err = out["disp"][c:-c, c:-c, c:-c] - np.array(shift, np.float32)
+    frac_ok = float(np.mean(np.all(np.abs(err) < 1.0, axis=-1)))
+    assert frac_ok > 0.8, f"only {frac_ok:.2%} within 1 voxel"
+    assert np.all(np.abs(np.median(err.reshape(-1, 3), axis=0)) < 0.5)
+
+    w = np.asarray(semantic_template_weights(
+        jnp.asarray(seg), jnp.asarray(seg_m), 4
+    ))
+    assert w.shape == (4,) and abs(w.mean() - 1.0) < 1e-5
+    out_w = task3_case(seg, seg_m, num_labels=4, template_weights=w)
+    err_w = np.abs(out_w["disp"][c:-c, c:-c, c:-c] - np.array(shift, np.float32))
+    assert float(np.mean(np.all(err_w < 1.0, axis=-1))) > 0.8

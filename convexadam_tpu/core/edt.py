@@ -1,0 +1,363 @@
+"""On-device Euclidean distance transform + HD95.
+
+The reference computes the 95th-percentile Hausdorff distance with a cupy
+EDT in a host loop over labels (self_configuring/convexAdam_hyper_util.py:32-51),
+which serializes an otherwise-batched sweep.  Here the whole metric runs
+inside jit so the sweep engine can evaluate HD95 per (setting, pair) without
+leaving the device mesh.
+
+Two facilities:
+
+* :func:`jump_flood_sqdist` — a general squared EDT by jump flooding
+  (1+JFA+1 schedule), exact on every tested seed set.  Memory-bound: it
+  touches the whole volume ~26x per pass, so it costs ~1 s per 16x128^3
+  batch on the ¼-v5e chip — fine for one-off transforms, too slow to call
+  4x per label per pair inside a sweep.
+* :func:`hd95_device` — HD95 WITHOUT full-volume EDTs.  The percentile only
+  samples the distance map at surface voxels, and the nearest
+  opposite-class voxel of a mask f, seen from outside (inside), always
+  lies on f's inner (outer) surface — the one-step-toward-the-query
+  exchange argument.  So the metric reduces to nearest-neighbour queries
+  between small integer point sets, evaluated as chunked distance matmuls
+  on the MXU (~100x cheaper than flooding, and exact).
+
+Reference HD95 semantics preserved exactly (convexAdam_hyper_util.py:32-51):
+* ``dist1 = edt(f) + edt(1-f)`` — distance to the nearest opposite-class
+  voxel (one term is always zero);
+* ``surf = (edt(f) == 1)`` — foreground voxels with a face-adjacent
+  background voxel (squared distance to background exactly 1);
+* ``hd95 = max(percentile(dist1[surf2], 95), percentile(dist2[surf1], 95))``
+  with numpy's linear-interpolation percentile over sorted surface
+  distances;
+* a label missing from either volume scores ``missing_value`` (30).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_SENTINEL = jnp.int32(2**30)  # "no seed known" squared distance
+_REL_SENT = 8192  # sentinel relative offset: 3*(8192+512)^2 < 2^31
+
+
+def _jump_schedule(max_dim: int) -> "list[int]":
+    """1+JFA+1: an extra 1-jump pass before and after the halving sequence
+    starting at the next power of two >= max_dim/2."""
+    jumps = [1]
+    j = 1
+    while j * 2 < max_dim:
+        j *= 2
+    while j >= 1:
+        jumps.append(j)
+        j //= 2
+    jumps.append(1)
+    return jumps
+
+
+@jax.jit
+def jump_flood_sqdist(seeds: jax.Array) -> jax.Array:
+    """Squared Euclidean distance to the nearest True voxel of ``seeds``.
+
+    ``seeds``: (..., H, W, D) bool.  Returns (..., H, W, D) int32 squared
+    distances (``2**30`` where a batch slice has no seed at all).  Batch
+    dims are flooded independently.
+
+    Each voxel carries the RELATIVE offset of its best seed (int16, no
+    coordinate meshes): shifting the state by a jump turns a neighbour's
+    offset into a candidate by adding the jump vector.  The pass loop is a
+    ``lax.scan`` over the jump schedule — the jump is a traced scalar, the
+    shift a dynamic ``jnp.roll`` with wrapped lanes masked by iota bounds —
+    keeping the program small for the (remote, slow) TPU compiler.
+    """
+    shape = seeds.shape
+    H, W, D = shape[-3:]
+    s = seeds.reshape((-1,) + (H, W, D))
+
+    rel = jnp.where(s[:, None], jnp.int16(0), jnp.int16(_REL_SENT)) * jnp.ones(
+        (1, 3, 1, 1, 1), jnp.int16
+    )
+    d2 = jnp.where(s, jnp.int32(0), _SENTINEL)
+
+    iz = lax.broadcasted_iota(jnp.int32, (H, W, D), 0)
+    iy = lax.broadcasted_iota(jnp.int32, (H, W, D), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (H, W, D), 2)
+    dirs = [
+        (a, b, c)
+        for a in (-1, 0, 1)
+        for b in (-1, 0, 1)
+        for c in (-1, 0, 1)
+        if (a, b, c) != (0, 0, 0)
+    ]
+    jumps = jnp.asarray(_jump_schedule(max(H, W, D)), jnp.int32)
+
+    def body(carry, k):
+        rel, d2 = carry
+        for (a, b, c) in dirs:
+            dz, dy, dx = a * k, b * k, c * k
+            cand = jnp.roll(rel, (-dz, -dy, -dx), axis=(2, 3, 4))
+            cand = cand + jnp.stack([dz, dy, dx]).astype(jnp.int16).reshape(
+                1, 3, 1, 1, 1
+            )
+            valid = (
+                (iz + dz >= 0) & (iz + dz < H)
+                & (iy + dy >= 0) & (iy + dy < W)
+                & (ix + dx >= 0) & (ix + dx < D)
+            )
+            c32 = cand.astype(jnp.int32)
+            cd2 = c32[:, 0] * c32[:, 0] + c32[:, 1] * c32[:, 1] + c32[:, 2] * c32[:, 2]
+            cd2 = jnp.where(valid, cd2, _SENTINEL)
+            better = cd2 < d2
+            d2 = jnp.where(better, cd2, d2)
+            rel = jnp.where(better[:, None], cand, rel)
+        return (rel, d2), None
+
+    (_, d2), _ = lax.scan(body, (rel, d2), jumps)
+    return d2.reshape(shape)
+
+
+# -- surface-point-set HD95 ---------------------------------------------------
+#
+# Full-volume EDTs are overkill for HD95: the percentile only samples the
+# distance map at SURFACE voxels, and the nearest opposite-class voxel of a
+# binary mask f always lies on f's inner surface (seen from outside — the
+# step-toward-the-query argument) or outer surface (seen from inside).  So
+# the metric reduces to nearest-neighbour queries between small integer
+# point sets, which the MXU eats as a chunked -2*Q^T.T distance matmul —
+# measured ~100x cheaper than flooding the whole volume per label on the
+# ¼-v5e chip (and exact, no JFA failure set).
+
+_COORD_PAD = 8192.0  # padded points: distance² ≥ (8192-512)² — never wins
+
+
+def _compact(mask_flat: jax.Array, K: int):
+    """First K True positions of a flat mask, in raster order.
+
+    One cumsum + one scatter — ``jnp.nonzero(size=K)``'s lowering is far
+    more expensive on TPU.  Returns ((K,) int32 indices, -1-padded; true
+    count, which may exceed K)."""
+    n = mask_flat.shape[0]
+    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask_flat, pos, K)  # out-of-range rows are dropped
+    buf = jnp.full((K,), -1, jnp.int32)
+    buf = buf.at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    count = jnp.where(mask_flat.shape[0] > 0, pos[-1] + 1, 0)
+    return buf, count
+
+
+def _nearest_sq(
+    query: jax.Array,
+    target: jax.Array,
+    chunk: "int | None" = None,
+    coords_bf16_exact: bool = False,
+):
+    """Per query point, min squared distance to the target set.
+
+    ``query``/``target``: (3, K) f32 integer-valued coords (padded with
+    :data:`_COORD_PAD`).  All arithmetic is exact in f32 (coords < 2^11,
+    products < 2^24).  The cross term runs on the MXU: with
+    ``coords_bf16_exact`` (volume dims <= 256, so every coordinate — and
+    the power-of-two pad — is exactly representable in bf16's 8-bit
+    mantissa) the default bf16-input / f32-accumulate matmul is EXACT at
+    full MXU rate; otherwise f32 precision is forced (bf16 rounding of
+    >256 coords would corrupt the integer lattice — the same trap as
+    core/rigid.py:_f32_matmuls).
+    """
+    Kq = query.shape[1]
+    Kt = target.shape[1]
+    if chunk is None:
+        # bound the (Kq, chunk) distance block to ~32M f32 (128 MB)
+        chunk = max(256, min(2048, (1 << 25) // max(Kq, 1)))
+    chunk = min(chunk, Kt)
+    n_chunks = -(-Kt // chunk)
+    pad = n_chunks * chunk - Kt
+    t = jnp.pad(target, ((0, 0), (0, pad)), constant_values=_COORD_PAD)
+    t = t.reshape(3, n_chunks, chunk).transpose(1, 0, 2)  # (n, 3, chunk)
+    q_norm = jnp.sum(query * query, axis=0)  # (Kq,)
+
+    def body(best, tc):
+        t_norm = jnp.sum(tc * tc, axis=0)  # (chunk,)
+        if coords_bf16_exact:
+            cross = jnp.dot(
+                query.T.astype(jnp.bfloat16), tc.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # (Kq, chunk)
+        else:
+            with jax.default_matmul_precision("float32"):
+                cross = jnp.dot(
+                    query.T, tc, preferred_element_type=jnp.float32
+                )
+        d2 = q_norm[:, None] + t_norm[None, :] - 2.0 * cross
+        return jnp.minimum(best, jnp.min(d2, axis=1)), None
+
+    # derive the init from the data so it carries the same manual-sharding
+    # ("varying") type as the scan outputs under shard_map
+    best0 = jnp.zeros_like(q_norm) + jnp.float32(4.0 * _COORD_PAD * _COORD_PAD)
+    best, _ = lax.scan(body, best0, t)
+    return best
+
+
+def _percentile_sorted(vals: jax.Array, n: jax.Array, q: float) -> jax.Array:
+    """numpy's linear-interpolated percentile of the first ``n`` entries of
+    ascending-sorted ``vals`` (padded tail = +inf)."""
+    rank = (q / 100.0) * (n.astype(jnp.float32) - 1.0)
+    k = jnp.clip(jnp.floor(rank).astype(jnp.int32), 0, None)
+    frac = rank - k.astype(jnp.float32)
+    k2 = jnp.minimum(k + 1, jnp.maximum(n - 1, 0))
+    vk = vals[k]
+    vk2 = vals[k2]
+    return jnp.where(n > 0, vk + frac * (vk2 - vk), 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_labels", "label_chunk", "max_surface", "global_surface"),
+)
+def hd95_device(
+    seg_fixed: jax.Array,
+    seg_moving: jax.Array,
+    num_labels: int,
+    missing_value: float = 30.0,
+    label_chunk: int = 4,
+    max_surface: "int | None" = None,
+    global_surface: "int | None" = None,
+) -> jax.Array:
+    """Per-label HD95 between integer label volumes, fully on device.
+
+    Drop-in for :func:`convexadam_tpu.core.metrics.hd95` (the host-EDT
+    loop) with the reference's semantics (convexAdam_hyper_util.py:32-51);
+    exact as long as no single label surface exceeds ``max_surface`` voxels
+    and the union of all label surfaces fits ``4 * max_surface``.  The
+    default is exact for volumes up to 64k voxels (K = |volume|) and caps
+    K at 65536 beyond that — a 192^3 organ surface is ~60k voxels, so
+    anatomy fits; an overflowing surface is truncated to its first K
+    voxels in raster order (the percentile sees a subset, the
+    nearest-target search overestimates) — raise ``max_surface`` if that
+    regime matters.  ``label_chunk`` labels are evaluated per sequential
+    step (vmapped within a step when it divides num_labels).
+
+    Structure: ONE cumsum+scatter compaction of the all-labels surface
+    list per volume (every inner/outer surface voxel of every label has a
+    differing face neighbour), then per-label sub-compactions over that
+    short list — full-volume work is independent of the label count.
+
+    Returns (num_labels,) float32 for labels 1..num_labels.
+    """
+    H, W, D = seg_fixed.shape
+    N = H * W * D
+    if max_surface is None:
+        max_surface = min(N, 65536)
+    K = max_surface
+    # ``global_surface`` caps the ALL-labels surface list; it must cover the
+    # total boundary-voxel count or sub-surfaces get truncated even when
+    # each fits K (the sweep engine sizes both from the data)
+    Kg = min(N, 4 * K) if global_surface is None else min(N, global_surface)
+    # bf16 coords are exact up to 256 (8-bit mantissa) → full-rate MXU
+    bf16ok = max(H, W, D) <= 256
+    sf = seg_fixed.astype(jnp.int16)
+    sm = seg_moving.astype(jnp.int16)
+
+    def neighbor_stack(seg):
+        """(6, H, W, D) face-neighbour values (edge-replicated, so borders
+        never count as surface against the outside — matching scipy's EDT
+        which measures within the array)."""
+        outs = []
+        for ax in range(3):
+            outs.append(jnp.concatenate(
+                [seg.take(jnp.asarray([0]), axis=ax), seg], axis=ax
+            ).take(jnp.arange(seg.shape[ax]), axis=ax))
+            outs.append(jnp.concatenate(
+                [seg, seg.take(jnp.asarray([-1]), axis=ax)], axis=ax
+            ).take(jnp.arange(1, seg.shape[ax] + 1), axis=ax))
+        return jnp.stack(outs)
+
+    def volume_side(seg):
+        """Global surface list of one volume: (own labels (Kg,), neighbour
+        labels (6, Kg), coords (3, Kg) f32, global flat indices (Kg,))."""
+        nb = neighbor_stack(seg)
+        diff = jnp.any(nb != seg[None], axis=0).reshape(-1)
+        gidx, _ = _compact(diff, Kg)
+        gvalid = gidx >= 0
+        safe = jnp.maximum(gidx, 0)
+        own = jnp.where(gvalid, seg.reshape(-1)[safe], jnp.int16(-1))
+        nbv = jnp.where(gvalid[None], nb.reshape(6, -1)[:, safe], jnp.int16(-1))
+        z = safe // (W * D)
+        y = (safe // D) % W
+        x = safe % D
+        coords = jnp.where(
+            gvalid[None], jnp.stack([z, y, x]).astype(jnp.float32), _COORD_PAD
+        )
+        return own, nbv, coords, gidx
+
+    own_f, nbv_f, gc_f, gidx_f = volume_side(sf)
+    own_m, nbv_m, gc_m, gidx_m = volume_side(sm)
+    counts_f = jnp.bincount(
+        seg_fixed.astype(jnp.int32).reshape(-1), length=num_labels + 1
+    )
+    counts_m = jnp.bincount(
+        seg_moving.astype(jnp.int32).reshape(-1), length=num_labels + 1
+    )
+    sf_flat = sf.reshape(-1)
+    sm_flat = sm.reshape(-1)
+
+    def one_label(lab):
+        lab16 = lab.astype(jnp.int16)
+
+        def sub(coords, sel):
+            """Sub-compact a selection of the global list into a (3, K)
+            coord buffer (+ global-list indices and true count)."""
+            sidx, sn = _compact(sel, K)
+            sv = sidx >= 0
+            ss = jnp.maximum(sidx, 0)
+            c = jnp.where(sv[None], coords[:, ss], _COORD_PAD)
+            return c, sidx, sn
+
+        inner_f_sel = own_f == lab16
+        outer_f_sel = (own_f != lab16) & (own_f >= 0) & jnp.any(
+            nbv_f == lab16, axis=0
+        )
+        inner_m_sel = own_m == lab16
+        outer_m_sel = (own_m != lab16) & (own_m >= 0) & jnp.any(
+            nbv_m == lab16, axis=0
+        )
+        ci_f, sidx_f, n_f = sub(gc_f, inner_f_sel)
+        co_f, _, _ = sub(gc_f, outer_f_sel)
+        ci_m, sidx_m, n_m = sub(gc_m, inner_m_sel)
+        co_m, _, _ = sub(gc_m, outer_m_sel)
+
+        def directed(surf_q, sidx_q, gidx_q, other_flat, inner_t, outer_t, n_q):
+            """p95 of dist-to-nearest-opposite-class-of-other over the
+            query surface: queries inside `other` target its outer surface,
+            queries outside target its inner surface."""
+            qvalid = sidx_q >= 0
+            gflat = gidx_q[jnp.maximum(sidx_q, 0)]  # global voxel index
+            in_other = jnp.where(
+                qvalid, other_flat[jnp.maximum(gflat, 0)] == lab16, False
+            )
+            d_in = _nearest_sq(surf_q, outer_t, coords_bf16_exact=bf16ok)
+            d_out = _nearest_sq(surf_q, inner_t, coords_bf16_exact=bf16ok)
+            d2 = jnp.where(in_other, d_in, d_out)
+            d = jnp.where(qvalid, jnp.sqrt(d2), jnp.inf)
+            n_eff = jnp.minimum(n_q, K)  # truncated surfaces: first-K bias
+            return _percentile_sorted(jnp.sort(d), n_eff, 95.0)
+
+        p1 = directed(ci_m, sidx_m, gidx_m, sf_flat, ci_f, co_f, n_m)
+        p2 = directed(ci_f, sidx_f, gidx_f, sm_flat, ci_m, co_m, n_f)
+        hd = jnp.maximum(p1, p2)
+        present = (counts_f[lab] > 0) & (counts_m[lab] > 0)
+        return jnp.where(present, hd, missing_value)
+
+    labels = jnp.arange(1, num_labels + 1, dtype=jnp.int32)
+    chunked = label_chunk > 1 and num_labels % label_chunk == 0
+    if chunked:
+        out = lax.map(
+            jax.vmap(one_label), labels.reshape(-1, label_chunk)
+        )
+    else:
+        out = lax.map(one_label, labels)
+    return out.reshape(-1)[:num_labels].astype(jnp.float32)

@@ -11,7 +11,9 @@ the remaining hyperparameter is a traced scalar), and with a
 ``setting`` mesh axis and the pair axis over the ``pair`` axis — the whole
 search becomes one SPMD program spanning the slice instead of N processes.
 
-HD95 runs on host (EDT), matching the reference's cupy round-trip.
+HD95 runs on-device by default on TPU (surface-point-set nearest-neighbour
+matmuls, core/edt.py) sharded over the same mesh; ``hd95_mode="host"``
+keeps the reference-style cupy/scipy host round-trip.
 """
 
 from __future__ import annotations
@@ -143,6 +145,121 @@ def evaluate_field_semantic(
 
 
 # ---------------------------------------------------------------------------
+# on-device HD95 over a sweep batch
+# ---------------------------------------------------------------------------
+
+def _suggest_max_surface(
+    segs_np: np.ndarray, num_labels: int
+) -> tuple[int, int]:
+    """Size hd95_device's point-set buffers from the data: (per-label cap,
+    all-labels cap) = the largest per-label / total surface counts over the
+    ground-truth volumes with a 1.5x margin (warped predictions have
+    comparable surface area), rounded up to powers of two — keeps the K x K
+    nearest-neighbour matmuls as small as the anatomy allows while
+    guaranteeing no truncation for GT-scale surfaces."""
+    worst = total_worst = 1
+    for seg in segs_np:
+        diff = np.zeros(seg.shape, bool)
+        for ax in range(3):
+            for sh in (1, -1):
+                r = np.roll(seg, sh, ax)
+                sl = tuple(
+                    slice(0, 1) if (i == ax and sh == 1)
+                    else (slice(-1, None) if (i == ax and sh == -1)
+                          else slice(None))
+                    for i in range(3)
+                )
+                r[sl] = seg[sl]
+                diff |= r != seg
+        total_worst = max(total_worst, int(diff.sum()))
+        counts = np.bincount(
+            seg[diff].astype(np.int64), minlength=num_labels + 1
+        )[1: num_labels + 1]
+        if counts.size:
+            worst = max(worst, int(counts.max()))
+    n = int(np.prod(segs_np.shape[1:]))
+    k = 1 << int(np.ceil(np.log2(max(1.5 * worst, 4096))))
+    kg = 1 << int(np.ceil(np.log2(max(1.5 * total_worst, 4 * k))))
+    return int(min(k, min(262144, n))), int(min(kg, n))
+
+
+def _make_hd95_batch_fn(
+    mesh: Optional[Mesh],
+    num_labels: int,
+    label_chunk: int = 4,
+    max_surface: Optional[int] = None,
+    global_surface: Optional[int] = None,
+):
+    """Batched on-device HD95: (P, H, W, D) GT segs + (G, P, *V, H, W, D)
+    warped segs → (G, P, *V) per-case label-mean HD95.
+
+    Replaces the reference's host loop of cupy/scipy EDTs
+    (convexAdam_hyper_util.py:32-51, convex_run_withconfig.py:143): each
+    device runs the jump-flood HD95 (core/edt.py) sequentially over its
+    LOCAL (setting, pair) shard via ``shard_map`` — the metric stays inside
+    the SPMD program instead of serializing the mesh behind one host.
+    """
+    from convexadam_tpu.core.edt import hd95_device
+
+    def local_fn(sf, sw):
+        v_shape = sw.shape[2:-3]
+        swf = sw.reshape(sw.shape[:2] + (-1,) + sw.shape[-3:])
+
+        def per_v(sw_v, sf_i):
+            seg_w = jnp.round(sw_v).astype(jnp.int32)
+            return jnp.mean(
+                hd95_device(
+                    sf_i, seg_w, num_labels,
+                    label_chunk=label_chunk, max_surface=max_surface,
+                    global_surface=global_surface,
+                )
+            )
+
+        def per_p(args):
+            sf_i, sw_i = args
+            return jax.lax.map(lambda s: per_v(s, sf_i), sw_i)
+
+        def per_g(sw_g):
+            return jax.lax.map(per_p, (sf, sw_g))
+
+        out = jax.lax.map(per_g, swf)  # (G_loc, P_loc, V')
+        return out.reshape(sw.shape[:2] + v_shape)
+
+    if mesh is None:
+        return jax.jit(local_fn)
+
+    from jax.experimental.shard_map import shard_map
+
+    names = mesh.axis_names
+    set_ax = "setting" if "setting" in names else None
+    pair_ax = "pair" if "pair" in names else None
+    try:
+        # check_vma=False: the body is purely local (no collectives); the
+        # varying-manual-axes type check rejects data-independent scan
+        # carries inside otherwise
+        sharded = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(PartitionSpec(pair_ax), PartitionSpec(set_ax, pair_ax)),
+            out_specs=PartitionSpec(set_ax, pair_ax),
+            check_vma=False,
+        )
+    except TypeError:  # older JAX spells it check_rep
+        sharded = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(PartitionSpec(pair_ax), PartitionSpec(set_ax, pair_ax)),
+            out_specs=PartitionSpec(set_ax, pair_ax),
+            check_rep=False,
+        )
+    out_spec = (
+        PartitionSpec() if jax.process_count() > 1
+        else PartitionSpec(set_ax, pair_ax)
+    )
+    return jax.jit(sharded, out_shardings=NamedSharding(mesh, out_spec))
+
+
+# ---------------------------------------------------------------------------
 # mesh fan-out helpers
 # ---------------------------------------------------------------------------
 
@@ -242,8 +359,15 @@ def run_stage1_sweep(
     mesh: Optional[Mesh] = None,
     setting_batch: Optional[int] = None,
     resume: bool = False,
+    hd95_mode: "str | None" = None,
 ) -> SweepResult:
     """Stage-1 semantic sweep (convex_run_withconfig.py:78-172).
+
+    ``hd95_mode``: "device" evaluates HD95 with the on-device jump-flood
+    EDT sharded over the mesh (see :func:`_make_hd95_batch_fn`); "host"
+    keeps the reference-style scipy/C++ EDT host loop; None (default)
+    picks "device" on TPU and "host" on CPU (the single-threaded host
+    of this repo's CI runs scipy faster than XLA:CPU runs the flood).
 
     With ``checkpoint_path`` the partial metric arrays are saved after every
     setting batch (the reference's torch.save checkpointing,
@@ -317,6 +441,17 @@ def run_stage1_sweep(
         )
 
     compiled = {}  # (grid_sp, disp_hw) → compiled fn
+    if hd95_mode is None:
+        hd95_mode = "device" if jax.default_backend() == "tpu" else "host"
+    hd95_fn = None
+    if compute_hd95 and hd95_mode == "device":
+        k_label, k_global = _suggest_max_surface(segs_np, num_labels)
+        hd95_fn = _make_hd95_batch_fn(
+            mesh, num_labels, max_surface=k_label, global_surface=k_global
+        )
+    gt_sharded = (
+        _mg(segs_np[fi_p], pair_sh) if hd95_fn is not None else None
+    )
     chunks = _chunked_setting_groups(
         settings, lambda st: (st.grid_sp, st.disp_hw), setting_batch
     )
@@ -335,12 +470,18 @@ def run_stage1_sweep(
             _mg(segs_np[fi_p], pair_sh), _mg(segs_np[mi_p], pair_sh),
             _mg(mults, set_sh),
         )
+        hd_batch = sw = None
         if compute_hd95:
             d, js, nf, seg_warped = out
-            sw = np.asarray(seg_warped)[:, :P]
+            if hd95_fn is not None:
+                # warped segs never leave the device — HD95 is computed in
+                # a second sharded program over the same (setting, pair)
+                # layout, then only the (G, P) scalars come back
+                hd_batch = np.asarray(hd95_fn(gt_sharded, seg_warped))[:, :P]
+            else:
+                sw = np.asarray(seg_warped)[:, :P]
         else:
             d, js, nf = out
-            sw = None
         d = np.asarray(d)[:, :P]  # (G, P, L), padding dropped
         js = np.asarray(js)[:, :P]
         nf = np.asarray(nf)[:, :P]
@@ -351,7 +492,9 @@ def run_stage1_sweep(
             dice[s, 1] = np.mean([d[g, i, robust30[i]].mean() for i in range(P)])
             jstd[s, 0] = js[g].mean()
             jstd[s, 1] = nf[g].mean()
-            if compute_hd95:
+            if hd_batch is not None:
+                hd[s] = hd_batch[g].mean()
+            elif compute_hd95:
                 hd[s] = np.mean(
                     [
                         hd95(segs_np[fi[i]], sw[g, i].round().astype(np.int32), num_labels).mean()
@@ -471,6 +614,7 @@ def run_stage2_sweep(
     mesh: Optional[Mesh] = None,
     setting_batch: Optional[int] = None,
     resume: bool = False,
+    hd95_mode: "str | None" = None,
 ) -> SweepResult:
     """Stage-2 semantic sweep: cache best-convex fields (pass A), then sweep
     Adam settings x 16 evaluation variants (pass B), rank over the flattened
@@ -559,6 +703,17 @@ def run_stage2_sweep(
         )
 
     compiled = {}
+    if hd95_mode is None:
+        hd95_mode = "device" if jax.default_backend() == "tpu" else "host"
+    hd95_fn = None
+    if compute_hd95 and hd95_mode == "device":
+        k_label, k_global = _suggest_max_surface(segs_np, num_labels)
+        hd95_fn = _make_hd95_batch_fn(
+            mesh, num_labels, max_surface=k_label, global_surface=k_global
+        )
+    gt_sharded = (
+        _mg(segs_np[fi_p], pair_sh) if hd95_fn is not None else None
+    )
     chunks = _chunked_setting_groups(
         adam_settings,
         lambda st: (st.grid_sp_adam, st.effective_avg_n),
@@ -580,12 +735,16 @@ def run_stage2_sweep(
             disps_lr, np.float32(convex_setting.nn_mult),
             _mg(lws, set_sh),
         )
+        hd_batch = sw = None
         if compute_hd95:
             dice_g, js_g, nf_g, sw_g = out
-            sw = np.asarray(sw_g)[:, :P]  # (G, P, 4, 4, H, W, D)
+            if hd95_fn is not None:
+                # (G, P, 4, 4) per-case label-mean HD95, on device
+                hd_batch = np.asarray(hd95_fn(gt_sharded, sw_g))[:, :P]
+            else:
+                sw = np.asarray(sw_g)[:, :P]  # (G, P, 4, 4, H, W, D)
         else:
             dice_g, js_g, nf_g = out
-            sw = None
         dg = np.asarray(dice_g)[:, :P]  # (G, P, 4, 4, L)
         jg = np.asarray(js_g)[:, :P]
         ng = np.asarray(nf_g)[:, :P]
@@ -598,7 +757,9 @@ def run_stage2_sweep(
             )
             jstd[s, :, :, 0] = jg[g].mean(0)
             jstd[s, :, :, 1] = ng[g].mean(0)
-            if compute_hd95:
+            if hd_batch is not None:
+                hd[s] = hd_batch[g].mean(axis=0)
+            elif compute_hd95:
                 for ii in range(4):
                     for kk in range(4):
                         hd[s, ii, kk] = np.mean(

@@ -78,3 +78,59 @@ def test_hd95_with_native_backend(native, rng):
     ours = metrics.hd95(a, b, 1)
     edt_mod._native = None  # reset autodetect
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# On-device jump-flood EDT + HD95 (core/edt.py)
+# ---------------------------------------------------------------------------
+
+def test_jump_flood_matches_scipy(rng):
+    """The 1+JFA+1 squared EDT must be exact vs scipy on random seed sets
+    at several densities (measured: zero mismatching voxels)."""
+    import jax.numpy as jnp
+    from scipy.ndimage import distance_transform_edt
+
+    from convexadam_tpu.core.edt import jump_flood_sqdist
+
+    for density in (0.002, 0.02, 0.08):
+        m = rng.random((24, 20, 18)) < density
+        if m.sum() == 0:
+            m[3, 4, 5] = True
+        d2 = np.asarray(jump_flood_sqdist(jnp.asarray(m)))
+        ref = np.round(distance_transform_edt(~m) ** 2)
+        assert (np.abs(d2 - ref) > 0.5).sum() == 0
+
+
+def test_hd95_device_matches_host(rng):
+    """hd95_device must reproduce the host scipy/C++-EDT hd95 (reference
+    semantics, convexAdam_hyper_util.py:32-51) including the interpolated
+    percentile and the missing-label -> 30 rule."""
+    import jax.numpy as jnp
+    from scipy.ndimage import uniform_filter
+
+    from convexadam_tpu.core.edt import hd95_device
+    from convexadam_tpu.core.metrics import hd95
+
+    def labels(seed):
+        v = uniform_filter(
+            rng.standard_normal((24, 22, 20)).astype(np.float32), 5
+        )
+        return np.digitize(v, np.quantile(v, [0.2, 0.4, 0.6, 0.8])).astype(
+            np.int32
+        )
+
+    s1, s2 = labels(0), labels(1)
+    host = hd95(s1, s2, 4)
+    dev = np.asarray(hd95_device(jnp.asarray(s1), jnp.asarray(s2), 4))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+    # label 3 removed from one volume → missing_value; and label_chunk must
+    # not change values (padding labels are discarded)
+    s1z = s1.copy()
+    s1z[s1z == 3] = 2
+    host = hd95(s1z, s2, 4)
+    dev = np.asarray(
+        hd95_device(jnp.asarray(s1z), jnp.asarray(s2), 4, label_chunk=3)
+    )
+    assert dev[2] == 30.0
+    np.testing.assert_allclose(dev, host, atol=1e-5)

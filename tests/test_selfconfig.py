@@ -185,10 +185,23 @@ def test_stage2_rank_invariant_to_setting_order_without_hd95():
     s_fwd, v_fwd = divmod(res_fwd.best, 16)
     s_rev, v_rev = divmod(res_rev.best, 16)
     assert (len(adam_settings) - 1 - s_rev, v_rev) == (s_fwd, v_fwd)
-    # and the rank vectors must agree up to sort_rank's argsort tie-breaking
-    # on exactly-tied metric values (inherent to the reference's scheme,
-    # convexAdam_hyper_util.py:28-31)
+    # the metric VALUES must be order-independent exactly…
+    np.testing.assert_array_equal(
+        res_rev.dice.reshape(len(adam_settings), 16, 2)[::-1].reshape(-1, 2),
+        res_fwd.dice,
+    )
+    # …and so must the ranks of every entry whose metric values are unique;
+    # only entries that tie EXACTLY within a metric may differ (sort_rank's
+    # argsort order is position-dependent there — inherent to the
+    # reference's scheme, convexAdam_hyper_util.py:28-31)
     rank_rev_as_fwd = res_rev.rank.reshape(len(adam_settings), 16)[::-1].reshape(-1)
+    tied = np.zeros(len(res_fwd.rank), bool)
+    for m in (res_fwd.dice[:, 0], res_fwd.dice[:, 1], res_fwd.jstd[:, 0]):
+        vals, counts = np.unique(m, return_counts=True)
+        tied |= np.isin(m, vals[counts > 1])
+    np.testing.assert_allclose(
+        rank_rev_as_fwd[~tied], res_fwd.rank[~tied], atol=1e-12
+    )
     np.testing.assert_allclose(rank_rev_as_fwd, res_fwd.rank, atol=0.05)
 
 
@@ -279,3 +292,55 @@ def test_paired_sweeps_end_to_end():
     )
     assert res2.dice.shape == (16, 2)
     assert res2.dice[res2.best, 0] < tre0
+
+
+def test_stage1_hd95_device_matches_host_loop():
+    """hd95_mode='device' (jump-flood EDT inside the SPMD program) must
+    reproduce the reference-style host EDT loop exactly.  Small volumes:
+    the flood is built for the TPU VPU; on this single-core CPU host it is
+    test-sized only (hence the platform-aware default)."""
+    preds, segs = _synthetic_dataset(shape=(18, 18, 18))
+    pairs = [(0, 1), (1, 2)]
+    settings = [Stage1Setting(nn_mult=10, grid_sp=3, disp_hw=2)]
+    res_dev = run_stage1_sweep(
+        preds, segs, pairs, settings, num_labels=2, hd95_mode="device"
+    )
+    res_host = run_stage1_sweep(
+        preds, segs, pairs, settings, num_labels=2, hd95_mode="host"
+    )
+    np.testing.assert_allclose(res_dev.hd95, res_host.hd95, atol=1e-5)
+    np.testing.assert_allclose(res_dev.rank, res_host.rank, atol=1e-12)
+
+
+def test_hd95_batch_fn_variant_dims_and_mesh():
+    """_make_hd95_batch_fn handles stage-2-style extra variant dims and, on
+    a (setting, pair) mesh, the shard_map path must match the host loop
+    bit-for-bit (this is stage 2's HD95 plumbing without the Adam sweep)."""
+    from convexadam_tpu.core.metrics import hd95
+    from convexadam_tpu.parallel.batch import make_sweep_mesh
+    from convexadam_tpu.selfconfig.engine import _make_hd95_batch_fn
+
+    rng = np.random.default_rng(7)
+    G, P, V, shape, L = 2, 2, (2, 2), (12, 12, 12), 2
+    gt = rng.integers(0, L + 1, (P,) + shape).astype(np.int32)
+    sw = rng.integers(0, L + 1, (G, P) + V + shape).astype(np.float32)
+
+    expected = np.zeros((G, P) + V)
+    for g in range(G):
+        for p in range(P):
+            for a in range(V[0]):
+                for b in range(V[1]):
+                    expected[g, p, a, b] = hd95(
+                        gt[p], sw[g, p, a, b].astype(np.int32), L
+                    ).mean()
+
+    out = np.asarray(
+        _make_hd95_batch_fn(None, L)(jnp.asarray(gt), jnp.asarray(sw))
+    )
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    mesh = make_sweep_mesh(n_setting=2, n_pair=2)
+    out_m = np.asarray(
+        _make_hd95_batch_fn(mesh, L)(jnp.asarray(gt), jnp.asarray(sw))
+    )
+    np.testing.assert_allclose(out_m, expected, atol=1e-5)

@@ -191,6 +191,118 @@ def correlate_coupled_streamed(
     return disp_soft
 
 
+def convex_displacement_tp(
+    feat_fix: jax.Array,
+    feat_mov: jax.Array,
+    disp_hw: int,
+    mesh,
+    axis_name: str = "disp",
+    metric: str = "ssd",
+    smooth_passes: int = 2,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Tensor-parallel convex stage: the (2q+1)^3 displacement-candidate
+    axis sharded across the ``axis_name`` axis of ``mesh`` (SURVEY §2.6 TP
+    row).
+
+    Each device materialises only its candidate slice of the dense cost
+    volume (memory per device = dense/n_devices — the multi-chip answer to
+    configs whose volume overflows one chip's HBM, e.g. grid_sp=2/disp_hw=7
+    at L2R scale needs ~27 GB dense), evaluates the coupling term for its
+    local candidates, and the per-voxel global argmin is recovered with two
+    ``lax.pmin`` collectives per iteration (value min, then
+    first-minimal-index min) — bit-identical to ``jnp.argmin`` over the
+    full axis, hence to :func:`coupled_convex` with ``use_mxu=False`` and
+    to :func:`correlate_coupled_streamed`.
+
+    Returns ``disp_soft`` (3, H', W', D') in coarse voxels, replicated.
+    """
+    from jax.sharding import PartitionSpec
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax.shard_map import shard_map  # type: ignore
+
+    from convexadam_tpu.core.cost_volume import displacement_mesh
+
+    q = disp_hw
+    K = 2 * q + 1
+    K3 = K**3
+    ndev = int(np.prod([
+        s for s, n in zip(mesh.devices.shape, mesh.axis_names)
+        if n == axis_name
+    ]))
+    K3_pad = -(-K3 // ndev) * ndev
+    # pad with the LAST candidate: duplicates have higher global index, so
+    # the first-minimal-index pmin never prefers them
+    ks = np.concatenate(
+        [np.arange(K3), np.full(K3_pad - K3, K3 - 1)]
+    ).astype(np.int32)
+    mesh_d = displacement_mesh(q)  # (3, K^3), replicated
+    C, H, W, D = feat_fix.shape
+    big_idx = jnp.int32(K3)
+
+    def local_fn(ks_local, ff, fm):
+        fix = ff.astype(compute_dtype)
+        movp = jnp.pad(
+            fm.astype(compute_dtype),
+            ((0, 0), (q, q), (q, q), (q, q)),
+            mode="constant",
+        )
+        offs = jnp.stack(
+            [ks_local % K, (ks_local // K) % K, ks_local // (K * K)], axis=1
+        )
+
+        def body(_, off):
+            sl = jax.lax.dynamic_slice(
+                movp, (0, off[0], off[1], off[2]), (C, H, W, D)
+            )
+            d = fix - sl
+            cost = jnp.abs(d) if metric == "sad" else d * d
+            return None, jnp.sum(cost, axis=0)
+
+        _, ssd = jax.lax.scan(body, None, offs)  # (K3_local, H, W, D)
+        for _ in range(smooth_passes):
+            ssd = avg_pool3d(ssd, 3, stride=1, padding=1)
+        ssd_flat = ssd.reshape(ssd.shape[0], -1).astype(jnp.float32)
+        mesh_local = mesh_d[:, ks_local]  # (3, K3_local)
+
+        def global_argmin(coupled):
+            """coupled: (K3_local, N) → (N,) global first-minimal index."""
+            lmin = jnp.min(coupled, axis=0)
+            larg = ks_local[jnp.argmin(coupled, axis=0)]
+            gmin = jax.lax.pmin(lmin, axis_name)
+            cand = jnp.where(lmin == gmin, larg, big_idx)
+            return jax.lax.pmin(cand, axis_name)
+
+        am = global_argmin(ssd_flat).reshape(H, W, D)
+        disp_soft = avg_pool3d(
+            _gather_disp(mesh_d, am), 3, stride=1, padding=1
+        )
+        for c in COUPLING_COEFFS:
+            s = disp_soft.reshape(3, -1)
+            diff = mesh_local[:, :, None] - s[:, None, :]
+            coupled = ssd_flat + c * jnp.sum(diff * diff, axis=0)
+            am = global_argmin(coupled).reshape(H, W, D)
+            disp_soft = avg_pool3d(
+                _gather_disp(mesh_d, am), 3, stride=1, padding=1
+            )
+        return disp_soft
+
+    spec_sharded = PartitionSpec(axis_name)
+    spec_rep = PartitionSpec()
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(spec_sharded, spec_rep, spec_rep),
+        out_specs=spec_rep,
+    )
+    try:
+        fn = shard_map(local_fn, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(local_fn, check_rep=False, **kwargs)
+    return jax.jit(fn)(jnp.asarray(ks), feat_fix, feat_mov)
+
+
 # dense cost volumes whose estimated footprint (ssd + one smoothing
 # temporary, i.e. 2x the raw volume) exceeds this dispatch to the streamed
 # path.  Calibrated on the ~16 GB chip at 192x160x256: grid_sp=2/disp_hw=5

@@ -199,3 +199,35 @@ def test_convex_displacement_dispatch(rng):
     dense = convex_displacement(fix, mov, 2, use_mxu=False)
     streamed = convex_displacement(fix, mov, 2, stream_threshold=1)
     np.testing.assert_array_equal(np.asarray(streamed), np.asarray(dense))
+
+
+def test_convex_displacement_tp_matches_single_device(rng):
+    """The displacement-axis-sharded convex stage (SURVEY §2.6 TP row) on
+    an 8-device mesh must match the exact single-device VPU form bit for
+    bit — including the streamed path it is the multi-chip memory answer
+    for."""
+    import jax
+    from jax.sharding import Mesh
+
+    from convexadam_tpu.core.convex import (
+        convex_displacement,
+        convex_displacement_tp,
+        correlate_coupled_streamed,
+    )
+
+    ff = jnp.asarray(rng.standard_normal((4, 10, 12, 10)).astype(np.float32))
+    fm = jnp.asarray(rng.standard_normal((4, 10, 12, 10)).astype(np.float32))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("disp",))
+
+    for q, metric, passes in ((2, "ssd", 2), (1, "sad", 1)):
+        ref = convex_displacement(
+            ff, fm, q, metric=metric, smooth_passes=passes, use_mxu=False
+        )
+        tp = convex_displacement_tp(
+            ff, fm, q, mesh, metric=metric, smooth_passes=passes
+        )
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(ref))
+
+    streamed = correlate_coupled_streamed(ff, fm, 2)
+    tp = convex_displacement_tp(ff, fm, 2, mesh)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(streamed))

@@ -1,18 +1,73 @@
 """Headline benchmark: full-resolution registration throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}; the LAST line
+is the headline metric (the driver parses the final line).
 
-Workload: one full L2R-scale case pair (192^3 voxels) through the complete
-MIND ConvexAdam pipeline at reference default hyperparameters
-(grid_sp=6, disp_hw=4, 80 Adam iterations, inverse consistency on) — the
-reference's north-star target is < 1 s per case pair per chip
-(BASELINE.md), so vs_baseline = pairs_per_sec / 1.0.
+1. Stage-1 sweep throughput (settings/s): a small semantic stage-1 sweep
+   (4 settings x 2 pairs at 160x192x160, 13 labels, Dice + robust30 +
+   SDlogJ + on-device HD95) — the self-configuring search is the
+   reference's throughput-critical workload; its only published number is
+   ~6.34 s per setting-iteration on GPU
+   (self_configuring/convexAdam_hyper_util.py:155-159), so
+   vs_baseline = 6.34 / seconds_per_setting.
+2. Headline: one full L2R-scale case pair (192^3 voxels) through the
+   complete MIND ConvexAdam pipeline at reference default hyperparameters
+   (grid_sp=6, disp_hw=4, 80 Adam iterations, inverse consistency on) —
+   the north-star target is < 1 s per case pair per chip (BASELINE.md), so
+   vs_baseline = pairs_per_sec / 1.0.
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def bench_sweep():
+    from convexadam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from convexadam_tpu.selfconfig.engine import run_stage1_sweep
+    from convexadam_tpu.selfconfig.settings import Stage1Setting
+
+    from scipy.ndimage import zoom
+
+    rng = np.random.default_rng(1)
+    H, W, D, L = 160, 192, 160, 13
+    segs = []
+    base = rng.integers(0, L + 1, (8, 10, 8))
+    for k in range(3):
+        lab = zoom(base, (H / 8, W / 10, D / 8), order=0).astype(np.int32)
+        segs.append(np.roll(lab, (3 * k, -2 * k, k), axis=(0, 1, 2)))
+    segs = np.stack(segs)
+
+    # four settings sharing one XLA shape key (nn_mult is traced) → one
+    # compile serves the batch, like the production 100-setting sweep
+    settings = [
+        Stage1Setting(nn_mult=m, grid_sp=4, disp_hw=3)
+        for m in (2.5, 5.0, 10.0, 15.0)
+    ]
+    pairs = [(0, 1), (1, 2)]
+    # warmup/compile pass (one setting)
+    run_stage1_sweep(segs, segs, pairs, settings[:1], num_labels=L)
+    t0 = time.perf_counter()
+    res = run_stage1_sweep(segs, segs, pairs, settings, num_labels=L)
+    dt = (time.perf_counter() - t0) / len(settings)
+
+    assert np.isfinite(res.dice).all() and np.isfinite(res.hd95).all()
+    settings_per_sec = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stage1_sweep_settings_per_sec_160x192x160_2pairs",
+                "value": round(settings_per_sec, 4),
+                "unit": "settings/s",
+                "vs_baseline": round(6.34 / dt, 4),
+            }
+        ),
+        flush=True,
+    )
 
 
 def main():
@@ -71,4 +126,5 @@ def main():
 
 
 if __name__ == "__main__":
+    bench_sweep()
     main()

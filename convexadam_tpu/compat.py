@@ -15,7 +15,16 @@ Differences, all documented:
   (convex_adam_MIND.py:89-91).
 * masks may be given as paths (like the reference) or as in-memory volumes.
 * ``ic=False`` runs with the reference's unit bug FIXED (see
-  pipeline/convex_adam.py module docstring).
+  pipeline/convex_adam.py module docstring): the reference feeds the Adam
+  stage a coarse-resolution field in grid_sp units (convex_adam_MIND.py:144);
+  we upsample and rescale as its own challenge scripts do.  Pointwise
+  parity with the reference is impossible there by design; transform
+  recovery is pinned by tests instead.
+* even ``selected_smooth`` values are rounded UP to the next odd kernel:
+  the reference warns "selected_smooth should be an odd number" and then
+  applies the even box anyway (convex_adam_MIND.py:184-191), which shifts
+  the field by half a voxel per pass; we smooth with ``selected_smooth+1``
+  (pipeline/convex_adam.py:_adam_stage) — a deliberate, tested divergence.
 """
 
 from __future__ import annotations

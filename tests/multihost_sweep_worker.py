@@ -54,8 +54,23 @@ def main():
         segs, segs, [(0, 1), (1, 2), (2, 3)], settings, num_labels=1,
         compute_hd95=False, mesh=mesh, setting_batch=2,
     )
+
+    # stage 2 across the same DCN mesh, with a pair count (5) that does NOT
+    # divide the 4 pair shards and a single Adam setting padded up to the
+    # setting_batch — the uneven-shard paths end to end
+    from convexadam_tpu.selfconfig import Stage2Setting, run_stage2_sweep
+
+    pairs5 = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    res2 = run_stage2_sweep(
+        segs, segs, pairs5, settings[0],
+        [Stage2Setting(grid_sp_adam=2, avg_n=1, lambda_weight=1.0)],
+        num_labels=1, compute_hd95=False, mesh=mesh, setting_batch=2,
+    )
     if int(pid) == 0:
-        np.savez(out_path, dice=res.dice, jstd=res.jstd, best=res.best)
+        np.savez(
+            out_path, dice=res.dice, jstd=res.jstd, best=res.best,
+            dice2=res2.dice, jstd2=res2.jstd, best2=res2.best,
+        )
     jax.effects_barrier()
 
 

@@ -150,3 +150,17 @@ def test_convex_adam_translation_compat_medicalimage(rng):
     t, moved, _ = convex_adam_translation(fixed, moving)
     assert isinstance(moved, MedicalImage)
     assert len(t) == 3 and all(np.isfinite(t))
+
+
+def test_even_selected_smooth_rounds_up(rng):
+    """Documented divergence: the reference warns on even selected_smooth
+    and then applies the even kernel anyway (convex_adam_MIND.py:184-191,
+    half-voxel drift per pass); we round up to the next odd kernel — an
+    even request must produce EXACTLY the next-odd field."""
+    vol, mov = _pair(rng)
+    kw = dict(grid_sp=3, disp_hw=2, selected_niter=4)
+    even = convex_adam_pt(vol, mov, selected_smooth=4, **kw)
+    odd = convex_adam_pt(vol, mov, selected_smooth=5, **kw)
+    np.testing.assert_array_equal(even, odd)
+    unsmoothed = convex_adam_pt(vol, mov, selected_smooth=0, **kw)
+    assert np.abs(even - unsmoothed).max() > 0

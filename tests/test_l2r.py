@@ -273,3 +273,66 @@ def test_evaluate_field_with_keypoints():
     m = evaluate_field(disp, kpts_fixed=kf, kpts_moving=km)
     np.testing.assert_allclose(m["tre"], 0.0, atol=1e-4)
     assert "sdlogj" in m
+
+
+def test_nnunet_arm_uses_predictions_scores_gt(task_dir, tmp_path):
+    """The nnUNet arm's actual regime (main_for_l2r3_nnUNet.py:76-80):
+    features come from IMPERFECT predictions while the evaluator scores
+    against ground truth.  Pins (a) the fixture's predictions genuinely
+    differ from GT, (b) _arm_features consumes the predictions, (c) the
+    reported dice equals a hand recomputation from GT labels + the saved
+    field, and (d) registration off imperfect predictions still beats the
+    identity field on GT dice."""
+    from convexadam_tpu.core.features import semantic_features
+    from convexadam_tpu.core.metrics import dice_coeff
+    from convexadam_tpu.core.warp import warp_with_displacement
+    from convexadam_tpu.selfconfig.l2r import L2RTask, _arm_features, _load_case
+
+    task = L2RTask.load(task_dir, "SynthTask")
+    case = _load_case(task, task.registration_val[0])
+
+    # (a) predictions differ from GT on both sides
+    assert np.any(case["pred_f"] != case["seg_f"])
+    assert np.any(case["pred_m"] != case["seg_m"])
+
+    # (b) the semantic features are the prediction one-hots, not GT's
+    ff, fm = _arm_features("nnUNet", case, 1, 2, jnp.float32)
+    nl = int(max(case["pred_f"].max(), case["pred_m"].max())) + 1
+    ff_pred, _ = semantic_features(
+        jnp.asarray(case["pred_f"]), jnp.asarray(case["pred_m"]),
+        num_labels=nl, mult=10.0,
+    )
+    np.testing.assert_array_equal(np.asarray(ff), np.asarray(ff_pred))
+    ff_gt, _ = semantic_features(
+        jnp.asarray(case["seg_f"]), jnp.asarray(case["seg_m"]),
+        num_labels=nl, mult=10.0,
+    )
+    assert np.any(np.asarray(ff) != np.asarray(ff_gt))
+
+    # (c)+(d): run the nnUNet arm, recompute its dice from GT + saved field
+    results = run_validation_grid(
+        task, tmp_path / "val_imperfect", iters=(20,), smoothings=(0,),
+        verbose=False, grid_override=([4], [2], [1.0]),
+    )
+    key = "nnUNet;4;2;1.0;20;0"
+    field, _ = __import__(
+        "convexadam_tpu.geometry.io", fromlist=["load_volume_nib_order"]
+    ).load_volume_nib_order(
+        tmp_path / "val_imperfect" / f"disp_{key.replace(';', '_')}_case_0000.nii.gz"
+    )
+    warped = warp_with_displacement(
+        jnp.asarray(case["seg_m"], jnp.float32)[None],
+        jnp.moveaxis(jnp.asarray(field, jnp.float32), -1, 0),
+        mode="nearest",
+    )[0]
+    d_manual = np.asarray(
+        dice_coeff(jnp.asarray(case["seg_f"]), warped, case["num_labels"] + 1)
+    )
+    np.testing.assert_allclose(
+        results[key]["dice"][0], d_manual, atol=1e-6
+    )
+    d_ident = float(np.asarray(dice_coeff(
+        jnp.asarray(case["seg_f"]), jnp.asarray(case["seg_m"]),
+        case["num_labels"] + 1,
+    )).mean())
+    assert results[key]["dice"].mean() > d_ident

@@ -25,6 +25,8 @@ def _free_port():
 
 
 def _reference_result():
+    from convexadam_tpu.selfconfig import Stage2Setting, run_stage2_sweep
+
     rng = np.random.default_rng(0)
     segs = []
     for k in range(4):
@@ -38,10 +40,16 @@ def _reference_result():
         Stage1Setting(nn_mult=5, grid_sp=3, disp_hw=1),
         Stage1Setting(nn_mult=10, grid_sp=4, disp_hw=2),
     ]
-    return run_stage1_sweep(
+    res1 = run_stage1_sweep(
         segs, segs, [(0, 1), (1, 2), (2, 3)], settings, num_labels=1,
         compute_hd95=False,
     )
+    res2 = run_stage2_sweep(
+        segs, segs, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], settings[0],
+        [Stage2Setting(grid_sp_adam=2, avg_n=1, lambda_weight=1.0)],
+        num_labels=1, compute_hd95=False,
+    )
+    return res1, res2
 
 
 def test_two_process_sweep_matches_single_process(tmp_path):
@@ -74,7 +82,12 @@ def test_two_process_sweep_matches_single_process(tmp_path):
     assert out.exists()
 
     got = np.load(out)
-    ref = _reference_result()
+    ref, ref2 = _reference_result()
     np.testing.assert_allclose(got["dice"], ref.dice, atol=1e-6)
     np.testing.assert_allclose(got["jstd"], ref.jstd, atol=1e-6)
     assert int(got["best"]) == ref.best
+    # stage 2 over DCN with 5 pairs on 4 pair shards (uneven) must match
+    # the single-process run
+    np.testing.assert_allclose(got["dice2"], ref2.dice, atol=1e-6)
+    np.testing.assert_allclose(got["jstd2"], ref2.jstd, atol=1e-6)
+    assert int(got["best2"]) == ref2.best

@@ -81,6 +81,20 @@ def correlate(
     # VMEM across the displacement sweep (~3.6x faster than the XLA scan on
     # v5e); falls through to XLA for non-SSD metrics, large coarse grids, or
     # non-TPU backends.
+    #
+    # bf16 VMEM tiling (ROADMAP's "remaining idea") is MEASURED DEAD:
+    # feeding bf16 features would be bitwise-identical (the kernel upcasts
+    # before the arithmetic — pinned by
+    # test_pallas_cost_volume_bf16_feed_bitwise_equals_f32_cast), but
+    # Mosaic cannot start the kw-shifted DMA window at unaligned sublane
+    # offsets under the packed (8,128)(2,1) bf16 tiling ("Failed to prove
+    # that a tile index in dimension 2 is divisible by the tiling (8)" on
+    # the real chip), and the bound on the win is ~0.3 ms/direction at
+    # bench shapes: the kernel's traffic is dominated by the f32 cost
+    # volume itself (~95 MB out + box-filter passes), while bf16 halves
+    # only the ~150 MB of repeated feature-block DMA — <0.1% end to end.
+    # Restructuring the kernel for aligned DMA (kw unrolled in-kernel)
+    # cannot pay for itself.
     if (
         metric == "ssd"
         and jax.default_backend() == "tpu"
@@ -92,8 +106,6 @@ def correlate(
         )
 
         if fits_vmem(feat_fix.shape, q, 4):
-            # inputs cast to f32 first (matches this path's compute_dtype;
-            # bf16 VMEM tiling also breaks unaligned DMA slices in Mosaic)
             ssd = cost_volume_pallas_batchable(
                 feat_fix.astype(jnp.float32), feat_mov.astype(jnp.float32), q
             )

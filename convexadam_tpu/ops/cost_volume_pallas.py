@@ -62,10 +62,11 @@ def _pick_tile_h(feat_shape, disp_hw: int, dtype_bytes: int):
     C, h, w, d = feat_shape
     q = disp_hw
     K = 2 * q + 1
-    # sublane-dim sizes that aren't multiples of 8 fault at runtime in
-    # Mosaic's masked edge handling (observed with 12^3 coarse grids) —
-    # leave those to the XLA path
-    if h % 8 or w % 8:
+    # sublane-dim sizes that aren't multiples of the dtype's native tile
+    # (8 for f32, 16 for bf16) fault at runtime in Mosaic's masked edge
+    # handling (observed with 12^3 coarse grids) — leave those to XLA
+    sub = 8 * (4 // dtype_bytes)
+    if h % 8 or w % sub:
         return None
     d_pad = -(-(d + 2 * q) // 128) * 128
     d_lane = -(-d // 128) * 128

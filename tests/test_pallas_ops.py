@@ -323,3 +323,24 @@ def test_sequential_vmap_all_closed_over(rng):
         np.asarray(out), np.broadcast_to(np.asarray(a * 2.0 + b.sum()), (6, 4, 5)),
         rtol=1e-6,
     )
+
+
+def test_pallas_cost_volume_bf16_feed_bitwise_equals_f32_cast(rng):
+    """bf16 features fed to the kernel directly (half DMA/VMEM) must give
+    the BITWISE-same cost volume as upcasting the same bf16 values to f32
+    first — the kernel's internal .astype(f32) makes them equivalent."""
+    from convexadam_tpu.ops.cost_volume_pallas import cost_volume_pallas
+
+    C, h, w, d = 3, 8, 16, 8
+    fix = jnp.asarray(
+        rng.standard_normal((C, h, w, d)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    mov = jnp.asarray(
+        rng.standard_normal((C, h, w, d)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    out_bf16 = cost_volume_pallas(fix, mov, 2, interpret=True)
+    out_f32 = cost_volume_pallas(
+        fix.astype(jnp.float32), mov.astype(jnp.float32), 2, interpret=True
+    )
+    assert out_bf16.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out_bf16), np.asarray(out_f32))

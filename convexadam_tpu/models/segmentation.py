@@ -65,6 +65,130 @@ class UNet3D(nn.Module):
         return nn.Conv(self.num_classes, (1, 1, 1))(x)
 
 
+def dice_ce_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """nnU-Net's training objective: soft-Dice + cross-entropy
+    (class-mean soft Dice over the batch, CE over voxels)."""
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes)
+    probs = jax.nn.softmax(logits, axis=-1)
+    axes = tuple(range(labels.ndim))  # batch + spatial
+    inter = jnp.sum(probs * onehot, axis=axes)
+    denom = jnp.sum(probs, axis=axes) + jnp.sum(onehot, axis=axes)
+    dice = jnp.mean(1.0 - (2.0 * inter + 1e-5) / (denom + 1e-5))
+    ce = -jnp.mean(
+        jnp.sum(onehot * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+    )
+    return dice + ce
+
+
+def train_unet3d(
+    images: np.ndarray,
+    labels: np.ndarray,
+    num_classes: int,
+    patch_size=(32, 32, 32),
+    steps: int = 200,
+    batch_size: int = 2,
+    learning_rate: float = 1e-3,
+    channels=(16, 32, 64),
+    seed: int = 0,
+    params=None,
+    verbose: bool = False,
+):
+    """Train a :class:`UNet3D` on random patches (Dice+CE, adamw with
+    cosine decay — a compact stand-in for the nnU-Net trainer whose
+    predictions the reference consumes from disk,
+    main_for_l2r3_nnUNet.py:76-80).
+
+    ``images``/``labels``: (N, H, W, D) float / int volumes.  Returns
+    (params, loss_history).  Pass ``params`` to fine-tune an existing
+    checkpoint (see :func:`save_unet3d` / :func:`load_unet3d`).
+    """
+    import optax
+
+    images = np.asarray(images, np.float32)
+    labels = np.asarray(labels, np.int32)
+    model = UNet3D(num_classes=num_classes, channels=tuple(channels))
+    rng = np.random.default_rng(seed)
+    if params is None:
+        params = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1,) + tuple(patch_size) + (1,), jnp.float32),
+        )
+
+    opt = optax.adamw(
+        optax.cosine_decay_schedule(learning_rate, max(steps, 1))
+    )
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x[..., None])
+            return dice_ce_loss(logits, y)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def sample_batch():
+        xs, ys = [], []
+        for _ in range(batch_size):
+            i = rng.integers(0, len(images))
+            starts = [
+                rng.integers(0, max(s - p, 0) + 1)
+                for s, p in zip(images[i].shape, patch_size)
+            ]
+            sl = tuple(
+                slice(s, s + p) for s, p in zip(starts, patch_size)
+            )
+            xs.append(images[i][sl])
+            ys.append(labels[i][sl])
+        return jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys))
+
+    history = []
+    for it in range(steps):
+        x, y = sample_batch()
+        params, opt_state, loss = step_fn(params, opt_state, x, y)
+        history.append(float(loss))
+        if verbose and it % 50 == 0:
+            print(f"step {it}: loss {history[-1]:.4f}")
+    return params, history
+
+
+def save_unet3d(params, path) -> None:
+    """Persist trained parameters with orbax (the framework's checkpoint
+    layer, like the sweep state in selfconfig/checkpoint.py)."""
+    import pathlib
+
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).absolute()
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, params, force=True)
+
+
+def load_unet3d(path):
+    import pathlib
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(pathlib.Path(path).absolute())
+
+
+def make_predictor(params, num_classes: int, channels=(16, 32, 64)):
+    """Bind (params, architecture) into the jitted patch → logits function
+    :func:`sliding_window_predict` and
+    pipeline.convex_adam.convex_adam_semantic_from_images consume."""
+    model = UNet3D(num_classes=num_classes, channels=tuple(channels))
+
+    @jax.jit
+    def predict_logits(patch):
+        return model.apply(params, patch[None, ..., None])[0]
+
+    return predict_logits
+
+
 def sliding_window_predict(
     predict_logits: Callable[[jax.Array], jax.Array],
     volume: np.ndarray,

@@ -216,7 +216,9 @@ def _percentile_sorted(vals: jax.Array, n: jax.Array, q: float) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_labels", "label_chunk", "max_surface", "global_surface"),
+    static_argnames=(
+        "num_labels", "label_chunk", "max_surface", "global_surface", "labels"
+    ),
 )
 def hd95_device(
     seg_fixed: jax.Array,
@@ -226,6 +228,7 @@ def hd95_device(
     label_chunk: int = 4,
     max_surface: "int | None" = None,
     global_surface: "int | None" = None,
+    labels: "tuple[int, ...] | None" = None,
 ) -> jax.Array:
     """Per-label HD95 between integer label volumes, fully on device.
 
@@ -245,6 +248,11 @@ def hd95_device(
     list per volume (every inner/outer surface voxel of every label has a
     differing face neighbour), then per-label sub-compactions over that
     short list — full-volume work is independent of the label count.
+
+    ``labels``: optional static tuple restricting evaluation to a subset
+    (the sweep engine buckets labels by surface size so small organs pay
+    small K x K searches, not the largest label's).  Returns
+    (len(labels),) in the given order; default labels = 1..num_labels.
 
     Returns (num_labels,) float32 for labels 1..num_labels.
     """
@@ -304,18 +312,22 @@ def hd95_device(
     )
     sf_flat = sf.reshape(-1)
     sm_flat = sm.reshape(-1)
+    # the OTHER volume's label at each global surface voxel — decides which
+    # target shell a query needs (label-independent: gathered once)
+    other_at_m = sf_flat[jnp.maximum(gidx_m, 0)]
+    other_at_f = sm_flat[jnp.maximum(gidx_f, 0)]
 
     def one_label(lab):
         lab16 = lab.astype(jnp.int16)
 
         def sub(coords, sel):
             """Sub-compact a selection of the global list into a (3, K)
-            coord buffer (+ global-list indices and true count)."""
+            coord buffer (+ validity and true count)."""
             sidx, sn = _compact(sel, K)
             sv = sidx >= 0
             ss = jnp.maximum(sidx, 0)
             c = jnp.where(sv[None], coords[:, ss], _COORD_PAD)
-            return c, sidx, sn
+            return c, sv, sn
 
         inner_f_sel = own_f == lab16
         outer_f_sel = (own_f != lab16) & (own_f >= 0) & jnp.any(
@@ -325,39 +337,46 @@ def hd95_device(
         outer_m_sel = (own_m != lab16) & (own_m >= 0) & jnp.any(
             nbv_m == lab16, axis=0
         )
-        ci_f, sidx_f, n_f = sub(gc_f, inner_f_sel)
+        ci_f, _, n_f = sub(gc_f, inner_f_sel)
         co_f, _, _ = sub(gc_f, outer_f_sel)
-        ci_m, sidx_m, n_m = sub(gc_m, inner_m_sel)
+        ci_m, _, n_m = sub(gc_m, inner_m_sel)
         co_m, _, _ = sub(gc_m, outer_m_sel)
 
-        def directed(surf_q, sidx_q, gidx_q, other_flat, inner_t, outer_t, n_q):
+        def directed(gc_q, q_sel, other_at_q, inner_t, outer_t, n_q):
             """p95 of dist-to-nearest-opposite-class-of-other over the
-            query surface: queries inside `other` target its outer surface,
-            queries outside target its inner surface."""
-            qvalid = sidx_q >= 0
-            gflat = gidx_q[jnp.maximum(sidx_q, 0)]  # global voxel index
-            in_other = jnp.where(
-                qvalid, other_flat[jnp.maximum(gflat, 0)] == lab16, False
-            )
-            d_in = _nearest_sq(surf_q, outer_t, coords_bf16_exact=bf16ok)
-            d_out = _nearest_sq(surf_q, inner_t, coords_bf16_exact=bf16ok)
-            d2 = jnp.where(in_other, d_in, d_out)
-            d = jnp.where(qvalid, jnp.sqrt(d2), jnp.inf)
-            n_eff = jnp.minimum(n_q, K)  # truncated surfaces: first-K bias
+            query surface.  Queries are PARTITIONED by membership in
+            `other` before the search (inside → outer shell, outside →
+            inner shell): each query point pays ONE nearest-neighbour
+            search instead of two-then-discard — half the quadratic work.
+            """
+            del n_q
+            q_in, v_in, n_in = sub(gc_q, q_sel & (other_at_q == lab16))
+            q_out, v_out, n_out = sub(gc_q, q_sel & (other_at_q != lab16))
+            d_in = _nearest_sq(q_in, outer_t, coords_bf16_exact=bf16ok)
+            d_out = _nearest_sq(q_out, inner_t, coords_bf16_exact=bf16ok)
+            d = jnp.concatenate([
+                jnp.where(v_in, jnp.sqrt(d_in), jnp.inf),
+                jnp.where(v_out, jnp.sqrt(d_out), jnp.inf),
+            ])
+            # truncated surfaces: first-K bias per partition
+            n_eff = jnp.minimum(n_in, K) + jnp.minimum(n_out, K)
             return _percentile_sorted(jnp.sort(d), n_eff, 95.0)
 
-        p1 = directed(ci_m, sidx_m, gidx_m, sf_flat, ci_f, co_f, n_m)
-        p2 = directed(ci_f, sidx_f, gidx_f, sm_flat, ci_m, co_m, n_f)
+        p1 = directed(gc_m, inner_m_sel, other_at_m, ci_f, co_f, n_m)
+        p2 = directed(gc_f, inner_f_sel, other_at_f, ci_m, co_m, n_f)
         hd = jnp.maximum(p1, p2)
         present = (counts_f[lab] > 0) & (counts_m[lab] > 0)
         return jnp.where(present, hd, missing_value)
 
-    labels = jnp.arange(1, num_labels + 1, dtype=jnp.int32)
-    chunked = label_chunk > 1 and num_labels % label_chunk == 0
+    if labels is None:
+        labels = tuple(range(1, num_labels + 1))
+    n_out = len(labels)
+    labs = jnp.asarray(labels, jnp.int32)
+    chunked = label_chunk > 1 and n_out % label_chunk == 0
     if chunked:
         out = lax.map(
-            jax.vmap(one_label), labels.reshape(-1, label_chunk)
+            jax.vmap(one_label), labs.reshape(-1, label_chunk)
         )
     else:
-        out = lax.map(one_label, labels)
-    return out.reshape(-1)[:num_labels].astype(jnp.float32)
+        out = lax.map(one_label, labs)
+    return out.reshape(-1)[:n_out].astype(jnp.float32)

@@ -148,16 +148,18 @@ def evaluate_field_semantic(
 # on-device HD95 over a sweep batch
 # ---------------------------------------------------------------------------
 
-def _suggest_max_surface(
+def _suggest_label_groups(
     segs_np: np.ndarray, num_labels: int
-) -> tuple[int, int]:
-    """Size hd95_device's point-set buffers from the data: (per-label cap,
-    all-labels cap) = the largest per-label / total surface counts over the
-    ground-truth volumes with a 1.5x margin (warped predictions have
-    comparable surface area), rounded up to powers of two — keeps the K x K
-    nearest-neighbour matmuls as small as the anatomy allows while
-    guaranteeing no truncation for GT-scale surfaces."""
-    worst = total_worst = 1
+) -> tuple[list, int]:
+    """Bucket labels by surface size for hd95_device: returns
+    ([(labels_tuple, K)], global_cap).  Each label's point-set buffer K is
+    the next power of two above 1.5x its largest ground-truth surface
+    count (warped predictions have comparable surface area), so small
+    organs pay small K x K nearest-neighbour searches instead of the
+    largest label's — the search cost is quadratic in K and the
+    contraction dim is 3, i.e. VPU-bound, so this is the dominant lever."""
+    per_label = np.ones(num_labels)
+    total_worst = 1
     for seg in segs_np:
         diff = np.zeros(seg.shape, bool)
         for ax in range(3):
@@ -175,12 +177,19 @@ def _suggest_max_surface(
         counts = np.bincount(
             seg[diff].astype(np.int64), minlength=num_labels + 1
         )[1: num_labels + 1]
-        if counts.size:
-            worst = max(worst, int(counts.max()))
+        per_label = np.maximum(per_label, counts)
     n = int(np.prod(segs_np.shape[1:]))
-    k = 1 << int(np.ceil(np.log2(max(1.5 * worst, 4096))))
-    kg = 1 << int(np.ceil(np.log2(max(1.5 * total_worst, 4 * k))))
-    return int(min(k, min(262144, n))), int(min(kg, n))
+    buckets: dict = {}
+    for lab in range(1, num_labels + 1):
+        k = 1 << int(np.ceil(np.log2(max(1.5 * per_label[lab - 1], 4096))))
+        k = int(min(k, min(262144, n)))
+        buckets.setdefault(k, []).append(lab)
+    kg = 1 << int(np.ceil(np.log2(max(1.5 * total_worst, 4096))))
+    groups = [(tuple(labs), k) for k, labs in sorted(buckets.items())]
+    return groups, int(min(kg, n))
+
+
+_HD95_FN_CACHE: dict = {}
 
 
 def _make_hd95_batch_fn(
@@ -189,6 +198,7 @@ def _make_hd95_batch_fn(
     label_chunk: int = 4,
     max_surface: Optional[int] = None,
     global_surface: Optional[int] = None,
+    label_groups=None,
 ):
     """Batched on-device HD95: (P, H, W, D) GT segs + (G, P, *V, H, W, D)
     warped segs → (G, P, *V) per-case label-mean HD95.
@@ -199,21 +209,38 @@ def _make_hd95_batch_fn(
     LOCAL (setting, pair) shard via ``shard_map`` — the metric stays inside
     the SPMD program instead of serializing the mesh behind one host.
     """
+    # memoised: a fresh closure per sweep call would re-trace (and
+    # re-load from the compile cache) the whole HD95 program every sweep
+    key = (
+        id(mesh), num_labels, label_chunk, max_surface, global_surface,
+        tuple(label_groups) if label_groups is not None else None,
+    )
+    if key in _HD95_FN_CACHE:
+        return _HD95_FN_CACHE[key]
+
     from convexadam_tpu.core.edt import hd95_device
 
     def local_fn(sf, sw):
         v_shape = sw.shape[2:-3]
         swf = sw.reshape(sw.shape[:2] + (-1,) + sw.shape[-3:])
 
+        groups = (
+            label_groups
+            if label_groups is not None
+            else [(tuple(range(1, num_labels + 1)), max_surface)]
+        )
+
         def per_v(sw_v, sf_i):
             seg_w = jnp.round(sw_v).astype(jnp.int32)
-            return jnp.mean(
+            parts = [
                 hd95_device(
                     sf_i, seg_w, num_labels,
-                    label_chunk=label_chunk, max_surface=max_surface,
-                    global_surface=global_surface,
+                    label_chunk=label_chunk, max_surface=k,
+                    global_surface=global_surface, labels=labs,
                 )
-            )
+                for labs, k in groups
+            ]
+            return jnp.mean(jnp.concatenate(parts))
 
         def per_p(args):
             sf_i, sw_i = args
@@ -226,7 +253,9 @@ def _make_hd95_batch_fn(
         return out.reshape(sw.shape[:2] + v_shape)
 
     if mesh is None:
-        return jax.jit(local_fn)
+        fn = jax.jit(local_fn)
+        _HD95_FN_CACHE[key] = fn
+        return fn
 
     from jax.experimental.shard_map import shard_map
 
@@ -256,7 +285,9 @@ def _make_hd95_batch_fn(
         PartitionSpec() if jax.process_count() > 1
         else PartitionSpec(set_ax, pair_ax)
     )
-    return jax.jit(sharded, out_shardings=NamedSharding(mesh, out_spec))
+    fn = jax.jit(sharded, out_shardings=NamedSharding(mesh, out_spec))
+    _HD95_FN_CACHE[key] = fn
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -445,9 +476,10 @@ def run_stage1_sweep(
         hd95_mode = "device" if jax.default_backend() == "tpu" else "host"
     hd95_fn = None
     if compute_hd95 and hd95_mode == "device":
-        k_label, k_global = _suggest_max_surface(segs_np, num_labels)
+        label_groups, k_global = _suggest_label_groups(segs_np, num_labels)
         hd95_fn = _make_hd95_batch_fn(
-            mesh, num_labels, max_surface=k_label, global_surface=k_global
+            mesh, num_labels,
+            label_groups=label_groups, global_surface=k_global,
         )
     gt_sharded = (
         _mg(segs_np[fi_p], pair_sh) if hd95_fn is not None else None
@@ -707,9 +739,10 @@ def run_stage2_sweep(
         hd95_mode = "device" if jax.default_backend() == "tpu" else "host"
     hd95_fn = None
     if compute_hd95 and hd95_mode == "device":
-        k_label, k_global = _suggest_max_surface(segs_np, num_labels)
+        label_groups, k_global = _suggest_label_groups(segs_np, num_labels)
         hd95_fn = _make_hd95_batch_fn(
-            mesh, num_labels, max_surface=k_label, global_surface=k_global
+            mesh, num_labels,
+            label_groups=label_groups, global_surface=k_global,
         )
     gt_sharded = (
         _mg(segs_np[fi_p], pair_sh) if hd95_fn is not None else None

@@ -344,3 +344,29 @@ def test_hd95_batch_fn_variant_dims_and_mesh():
         _make_hd95_batch_fn(mesh, L)(jnp.asarray(gt), jnp.asarray(sw))
     )
     np.testing.assert_allclose(out_m, expected, atol=1e-5)
+
+
+def test_hd95_label_groups_match_single_bucket():
+    """Per-label K bucketing (small organs pay small nearest-neighbour
+    searches) must not change any HD95 value vs one max-sized bucket."""
+    from convexadam_tpu.selfconfig.engine import (
+        _make_hd95_batch_fn,
+        _suggest_label_groups,
+    )
+
+    rng = np.random.default_rng(3)
+    shape, L = (14, 14, 14), 3
+    gt = rng.integers(0, L + 1, (2,) + shape).astype(np.int32)
+    sw = rng.integers(0, L + 1, (1, 2) + shape).astype(np.float32)
+
+    groups, kg = _suggest_label_groups(gt, L)
+    assert sum(len(g[0]) for g in groups) == L
+    out_g = np.asarray(
+        _make_hd95_batch_fn(
+            None, L, label_groups=groups, global_surface=kg
+        )(jnp.asarray(gt), jnp.asarray(sw))
+    )
+    out_s = np.asarray(
+        _make_hd95_batch_fn(None, L)(jnp.asarray(gt), jnp.asarray(sw))
+    )
+    np.testing.assert_allclose(out_g, out_s, atol=1e-6)

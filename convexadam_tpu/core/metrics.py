@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from convexadam_tpu.core.smoothing import avg_pool3d
 from convexadam_tpu.core.warp import (
     grid_sample_3d,
 )
@@ -180,9 +179,34 @@ def keypoint_tre(
 # 3D SSIM (test-metric parity: tests/helper_functions.py:100-145)
 # ---------------------------------------------------------------------------
 
-def ssim3d(x: jax.Array, y: jax.Array, window_size: int = 11) -> jax.Array:
-    """Mean 3D SSIM with a uniform window (box) approximation of the
-    Gaussian window; data range from the joint min/max."""
+def _ssim_gauss_filter(v: jax.Array, window_size: int, sigma: float) -> jax.Array:
+    """Separable normalized-Gaussian filter with zero padding — the window
+    of the reference's pytorch-ssim-3D helper
+    (tests/helper_functions.py:102-117)."""
+    r = np.arange(window_size, dtype=np.float32) - window_size // 2
+    g = np.exp(-(r**2) / (2.0 * sigma**2))
+    g = jnp.asarray(g / g.sum())
+    out = v
+    for ax in range(3):
+        shape = [1, 1, 1]
+        shape[ax] = window_size
+        pad = [(0, 0)] * 3
+        pad[ax] = (window_size // 2, window_size // 2)
+        out = jax.lax.conv_general_dilated(
+            out[None, None],
+            g.reshape([1, 1] + shape),
+            window_strides=(1, 1, 1),
+            padding=pad,
+        )[0, 0]
+    return out
+
+
+def ssim3d(
+    x: jax.Array, y: jax.Array, window_size: int = 11, sigma: float = 1.5
+) -> jax.Array:
+    """Mean 3D SSIM with the reference's Gaussian window (σ=1.5,
+    zero-padded; tests/helper_functions.py:100-145); data range normalized
+    from the joint min/max (the reference helper assumes [0, 1] inputs)."""
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     lo = jnp.minimum(x.min(), y.min())
@@ -190,10 +214,9 @@ def ssim3d(x: jax.Array, y: jax.Array, window_size: int = 11) -> jax.Array:
     x = (x - lo) / (hi - lo + 1e-12)
     y = (y - lo) / (hi - lo + 1e-12)
     c1, c2 = 0.01**2, 0.03**2
-    k = window_size
 
     def f(v):
-        return avg_pool3d(v[None], k, stride=1, padding=k // 2)[0]
+        return _ssim_gauss_filter(v, window_size, sigma)
 
     mx, my = f(x), f(y)
     sxx = f(x * x) - mx * mx

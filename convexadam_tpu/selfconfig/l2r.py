@@ -16,6 +16,7 @@ import time
 from pathlib import Path
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -150,7 +151,18 @@ def evaluate_field(
         k = max(1, int((num_labels + 1) * 0.3))
         out["dice30"] = float(np.sort(dice)[:k].mean())
         if compute_hd95:
-            out["hd95"] = hd95(seg_fixed, warped, num_labels)
+            if jax.default_backend() == "tpu":
+                # surface-point-set HD95 on device (core/edt.py) — the host
+                # scipy EDT loop costs seconds per case at L2R scale
+                from convexadam_tpu.core.edt import hd95_device
+
+                out["hd95"] = np.asarray(
+                    hd95_device(
+                        jnp.asarray(seg_fixed), jnp.asarray(warped), num_labels
+                    )
+                )
+            else:
+                out["hd95"] = hd95(seg_fixed, warped, num_labels)
     if kpts_fixed is not None:
         tre = np.asarray(
             keypoint_tre(

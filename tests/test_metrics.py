@@ -131,3 +131,40 @@ def test_rank_product():
     r2 = np.array([0.1, 0.5, 1.0])
     out = metrics.rank_product([r1, r2])
     np.testing.assert_allclose(out, np.sqrt(r1 * r2))
+
+
+def test_ssim3d_matches_reference_gaussian_window(rng):
+    """ssim3d must reproduce the reference's pytorch-ssim-3D Gaussian-window
+    formula (tests/helper_functions.py:100-145) on pre-normalized inputs."""
+    import torch
+    import torch.nn.functional as F
+
+    from convexadam_tpu.core.metrics import ssim3d
+
+    def torch_ssim3d(a, b, ws=11):
+        x = torch.arange(ws, dtype=torch.float32) - ws // 2
+        g = torch.exp(-x**2 / (2 * 1.5**2))
+        g = (g / g.sum()).unsqueeze(1)
+        w2 = g.mm(g.t())
+        w3 = g.mm(w2.reshape(1, -1)).reshape(ws, ws, ws)[None, None]
+        i1 = torch.from_numpy(a)[None, None]
+        i2 = torch.from_numpy(b)[None, None]
+        mu1 = F.conv3d(i1, w3, padding=ws // 2)
+        mu2 = F.conv3d(i2, w3, padding=ws // 2)
+        s11 = F.conv3d(i1 * i1, w3, padding=ws // 2) - mu1**2
+        s22 = F.conv3d(i2 * i2, w3, padding=ws // 2) - mu2**2
+        s12 = F.conv3d(i1 * i2, w3, padding=ws // 2) - mu1 * mu2
+        c1, c2 = 0.01**2, 0.03**2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1**2 + mu2**2 + c1) * (s11 + s22 + c2)
+        )
+        return float(m.mean())
+
+    a = rng.random((20, 18, 16)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    # feed pre-normalized [0,1] data so ssim3d's joint-range normalization
+    # is (nearly) identity and the comparison isolates the window/formula
+    a[0, 0, 0], b[0, 0, 0] = 0.0, 1.0  # pin the joint range exactly
+    ours = float(ssim3d(jnp.asarray(a), jnp.asarray(b)))
+    ref = torch_ssim3d(a, b)
+    assert abs(ours - ref) < 1e-4, (ours, ref)

@@ -92,6 +92,7 @@ def train_unet3d(
     channels=(16, 32, 64),
     seed: int = 0,
     params=None,
+    fg_fraction: float = 0.0,
     verbose: bool = False,
 ):
     """Train a :class:`UNet3D` on random patches (Dice+CE, adamw with
@@ -102,6 +103,11 @@ def train_unet3d(
     ``images``/``labels``: (N, H, W, D) float / int volumes.  Returns
     (params, loss_history).  Pass ``params`` to fine-tune an existing
     checkpoint (see :func:`save_unet3d` / :func:`load_unet3d`).
+
+    ``fg_fraction``: fraction of patches forced to contain foreground
+    (label > 0) by centring them on a random foreground voxel — nnU-Net's
+    oversampling rule for sparse targets (it forces 1/3); essential when
+    the foreground occupies <1% of the volume (e.g. prostate in pelvis).
     """
     import optax
 
@@ -130,14 +136,31 @@ def train_unet3d(
         updates, opt_state = opt.update(g, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    fg_voxels = (
+        [np.argwhere(lab > 0) for lab in labels] if fg_fraction > 0 else None
+    )
+
     def sample_batch():
         xs, ys = [], []
         for _ in range(batch_size):
             i = rng.integers(0, len(images))
-            starts = [
-                rng.integers(0, max(s - p, 0) + 1)
-                for s, p in zip(images[i].shape, patch_size)
-            ]
+            if (
+                fg_voxels is not None
+                and len(fg_voxels[i])
+                and rng.random() < fg_fraction
+            ):
+                # centre the patch on a random foreground voxel, clamped
+                # into the volume
+                c = fg_voxels[i][rng.integers(0, len(fg_voxels[i]))]
+                starts = [
+                    int(np.clip(cv - p // 2, 0, max(s - p, 0)))
+                    for cv, s, p in zip(c, images[i].shape, patch_size)
+                ]
+            else:
+                starts = [
+                    rng.integers(0, max(s - p, 0) + 1)
+                    for s, p in zip(images[i].shape, patch_size)
+                ]
             sl = tuple(
                 slice(s, s + p) for s, p in zip(starts, patch_size)
             )
@@ -168,12 +191,48 @@ def save_unet3d(params, path) -> None:
 
 
 def load_unet3d(path):
+    """Restore parameters as host numpy arrays — device-agnostic, so a
+    checkpoint written on the TPU backend loads on CPU meshes and vice
+    versa (orbax otherwise replays the saved device sharding, which fails
+    across topologies)."""
     import pathlib
 
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(pathlib.Path(path).absolute())
+    path = pathlib.Path(path).absolute()
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+        ckptr.metadata(path).item_metadata.tree,
+    )
+    return ckptr.restore(path, restore_args=restore_args)
+
+
+def load_pretrained_unet3d(name: str = "unet3d_prostate_adc"):
+    """Load a checkpoint shipped with the package
+    (``models/checkpoints/<name>/``: orbax params + meta.json) and bind it
+    into a jitted patch predictor.
+
+    Returns ``(predict_logits, meta)`` where ``meta`` carries
+    ``num_classes``, ``channels``, ``patch_size`` and the expected input
+    ``normalization`` ("zscore": feed ``(v - v.mean()) / v.std()``).
+
+    The shipped ``unet3d_prostate_adc`` checkpoint is trained on the real
+    prostate ADC case from the reference snapshot (regeneration recipe:
+    ``python -m tests.regen_unet_checkpoint``) — a demonstrated end-to-end
+    path from raw images to the *imperfect* ``predictedlabels`` regime the
+    reference consumes from disk (main_for_l2r3_nnUNet.py:76-80).
+    """
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).parent / "checkpoints" / name
+    meta = json.loads((root / "meta.json").read_text())
+    params = load_unet3d(root / "params")
+    predictor = make_predictor(
+        params, meta["num_classes"], tuple(meta["channels"])
+    )
+    return predictor, meta
 
 
 def make_predictor(params, num_classes: int, channels=(16, 32, 64)):

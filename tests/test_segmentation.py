@@ -115,6 +115,35 @@ def test_end_to_end_semantic_registration_from_images():
     assert d1 > d0 + 0.1, (d0, d1)
 
 
+def test_pretrained_prostate_checkpoint_on_real_anatomy():
+    """The shipped checkpoint (models/checkpoints/unet3d_prostate_adc,
+    trained by tests/regen_unet_checkpoint.py on the reference snapshot's
+    real prostate ADC) must load through the package-data path and produce
+    a useful-but-IMPERFECT segmentation of the real volume — pred != GT is
+    the regime the reference's nnU-Net arm actually runs in
+    (main_for_l2r3_nnUNet.py:76-80; its predictions come from a separately
+    trained net, never the ground truth)."""
+    from convexadam_tpu.models.segmentation import (
+        load_pretrained_unet3d,
+        sliding_window_predict,
+    )
+
+    from tests.regen_real_anatomy import load_reference_pair
+
+    predictor, meta = load_pretrained_unet3d("unet3d_prostate_adc")
+    assert meta["normalization"] == "zscore"
+
+    adc, _, seg = load_reference_pair()
+    img = (adc - adc.mean()) / adc.std()
+    pred = sliding_window_predict(predictor, img, meta["patch_size"])
+    gt = (seg > 0.5).astype(np.int32)
+
+    inter = np.sum((pred == 1) & (gt == 1))
+    dice = 2 * inter / ((pred == 1).sum() + (gt == 1).sum() + 1e-8)
+    assert dice > 0.5, f"checkpoint no longer segments the prostate: {dice}"
+    assert (pred != gt).any(), "suspiciously perfect — regenerate-time leak?"
+
+
 def test_train_save_load_predict_roundtrip(tmp_path):
     """The packaged trainer (Dice+CE on random patches) must learn the
     synthetic task, and an orbax save/load round trip must reproduce the

@@ -68,9 +68,13 @@ def test_real_convex_stage_matches_reference_exactly():
         # 8-virtual-device CPU config, exact 0.0 in a plain CPU process)
         assert epe.max() < 1e-4, epe.max()
     else:
-        # MXU argmin tie-break drift: rare cells, bounded by one coarse cell
-        assert np.mean(epe > 0) < 0.02, np.mean(epe > 0)
+        # on the real chip the MXU coupled-convex cross-term accumulates in
+        # bf16 (CLAUDE.md; core/convex.py docstring), shifting the
+        # soft-coupled displacement by sub-voxel noise everywhere rather
+        # than flipping rare argmin ties — measured on-chip: p50 1.8e-7,
+        # p95 0.027, p99 0.062, max 0.114 voxels, frac>0.5 exactly 0
         assert np.percentile(epe, 95) < 0.1, np.percentile(epe, 95)
+        assert epe.max() < 0.5, epe.max()
 
 
 def test_real_full_pipeline_quality_parity():

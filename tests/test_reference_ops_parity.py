@@ -17,6 +17,7 @@ import pathlib
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from convexadam_tpu.core.convex import coupled_convex
@@ -57,24 +58,42 @@ def test_correlate_matches_reference():
 def test_coupled_convex_matches_reference():
     ffs, fms = _pooled_features()
     ssd, amin = correlate(ffs, fms, 2)
-    disp = np.asarray(coupled_convex(ssd, amin, displacement_mesh(2)))
-    # disp_soft comes out in array order on both sides (the reference's
+    # the exact VPU form must match the reference fixture on EVERY backend
+    # (disp_soft comes out in array order on both sides — the reference's
     # xyz flip only happens later, at the IC/grid_sample boundary)
-    np.testing.assert_allclose(
-        disp, _REF["disp_soft"], rtol=1e-4, atol=1e-4
+    disp_vpu = np.asarray(
+        coupled_convex(ssd, amin, displacement_mesh(2), use_mxu=False)
     )
+    np.testing.assert_allclose(
+        disp_vpu, _REF["disp_soft"], rtol=1e-4, atol=1e-4
+    )
+    # the default form: identical off-TPU; on the chip the MXU cross-term
+    # accumulates in bf16, flipping rare cost argmin ties — each flip moves
+    # the coupled estimate by ONE coupling quantum (disp step / niter = 1/9
+    # coarse units here).  Measured on-chip: 3.6% of cells, max 0.112.
+    disp = np.asarray(coupled_convex(ssd, amin, displacement_mesh(2)))
+    delta = np.abs(disp - _REF["disp_soft"])
+    if jax.default_backend() == "cpu":
+        assert delta.max() < 1e-4, delta.max()
+    else:
+        assert np.mean(delta > 1e-4) < 0.08, np.mean(delta > 1e-4)
+        assert delta.max() < 0.12, delta.max()
 
 
 def test_inverse_consistency_matches_reference():
     ffs, fms = _pooled_features()
     mesh = displacement_mesh(2)
     ssd, amin = correlate(ffs, fms, 2)
-    d1 = coupled_convex(ssd, amin, mesh)
+    d1 = coupled_convex(ssd, amin, mesh, use_mxu=False)
     ssd2, amin2 = correlate(fms, ffs, 2)
-    d2 = coupled_convex(ssd2, amin2, mesh)
+    d2 = coupled_convex(ssd2, amin2, mesh, use_mxu=False)
     h, w, d = d1.shape[1:]
     scale = jnp.array([(h - 1) / 2, (w - 1) / 2, (d - 1) / 2]).reshape(3, 1, 1, 1)
     ic_fwd, _ = inverse_consistency(d1 / scale, d2 / scale, iters=15)
+    # VPU-form inputs keep the comparison exact on CPU; on the chip the IC
+    # gathers/interpolation carry small op-order drift (measured max
+    # 6.3e-3 in [-1, 1] grid units through 15 iterations)
+    atol = 1e-5 if jax.default_backend() == "cpu" else 1e-2
     np.testing.assert_allclose(
-        np.asarray(ic_fwd), _REF["ic_fwd"][::-1], rtol=1e-4, atol=1e-5
+        np.asarray(ic_fwd), _REF["ic_fwd"][::-1], rtol=1e-4, atol=atol
     )

@@ -270,6 +270,17 @@ def hd95_device(
     sf = seg_fixed.astype(jnp.int16)
     sm = seg_moving.astype(jnp.int16)
 
+    # Gathers are per-INDEX bound on TPU (~80-90 M idx/s, see core/warp.py),
+    # and the surface-list preamble's (6, Kg) neighbour-label gather was its
+    # measured hog.  When own + 6 neighbour labels fit one int32 (4-bit
+    # fields for <=14 labels: 7*bits <= 31) they are packed full-volume
+    # (bandwidth-cheap VPU shifts) and gathered as ONE word per surface
+    # voxel — 8x fewer gathered indices.  Field value (2^bits - 1) is an
+    # out-of-range sentinel no real label equals.
+    bits = (num_labels + 1).bit_length()
+    packed = 7 * bits <= 31
+    fsent = jnp.int32((1 << bits) - 1)
+
     def neighbor_stack(seg):
         """(6, H, W, D) face-neighbour values (edge-replicated, so borders
         never count as surface against the outside — matching scipy's EDT
@@ -286,14 +297,31 @@ def hd95_device(
 
     def volume_side(seg):
         """Global surface list of one volume: (own labels (Kg,), neighbour
-        labels (6, Kg), coords (3, Kg) f32, global flat indices (Kg,))."""
+        labels (6, Kg), coords (3, Kg) f32, global flat indices (Kg,)).
+        ``own``/``nbv`` are -1 on invalid (padded) rows."""
         nb = neighbor_stack(seg)
         diff = jnp.any(nb != seg[None], axis=0).reshape(-1)
         gidx, _ = _compact(diff, Kg)
         gvalid = gidx >= 0
         safe = jnp.maximum(gidx, 0)
-        own = jnp.where(gvalid, seg.reshape(-1)[safe], jnp.int16(-1))
-        nbv = jnp.where(gvalid[None], nb.reshape(6, -1)[:, safe], jnp.int16(-1))
+        if packed:
+            word = seg.astype(jnp.int32)
+            for k in range(6):
+                word = word | (nb[k].astype(jnp.int32) << (bits * (k + 1)))
+            w = jnp.where(gvalid, word.reshape(-1)[safe], jnp.int32(-1))
+            fmask = jnp.int32((1 << bits) - 1)
+            own = jnp.where(gvalid, w & fmask, jnp.int32(-1)).astype(jnp.int16)
+            nbv = jnp.stack([
+                jnp.where(
+                    gvalid, (w >> (bits * (k + 1))) & fmask, fsent
+                ).astype(jnp.int16)
+                for k in range(6)
+            ])
+        else:
+            own = jnp.where(gvalid, seg.reshape(-1)[safe], jnp.int16(-1))
+            nbv = jnp.where(
+                gvalid[None], nb.reshape(6, -1)[:, safe], jnp.int16(-1)
+            )
         z = safe // (W * D)
         y = (safe // D) % W
         x = safe % D
@@ -320,14 +348,16 @@ def hd95_device(
     def one_label(lab):
         lab16 = lab.astype(jnp.int16)
 
-        def sub(coords, sel):
+        def sub(coords, sel, other_at=None):
             """Sub-compact a selection of the global list into a (3, K)
-            coord buffer (+ validity and true count)."""
+            coord buffer (+ validity, true count, and optionally the other
+            volume's label gathered through the same compaction)."""
             sidx, sn = _compact(sel, K)
             sv = sidx >= 0
             ss = jnp.maximum(sidx, 0)
             c = jnp.where(sv[None], coords[:, ss], _COORD_PAD)
-            return c, sv, sn
+            oth = None if other_at is None else other_at[ss]
+            return c, sv, sn, oth
 
         inner_f_sel = own_f == lab16
         outer_f_sel = (own_f != lab16) & (own_f >= 0) & jnp.any(
@@ -337,33 +367,32 @@ def hd95_device(
         outer_m_sel = (own_m != lab16) & (own_m >= 0) & jnp.any(
             nbv_m == lab16, axis=0
         )
-        ci_f, _, n_f = sub(gc_f, inner_f_sel)
-        co_f, _, _ = sub(gc_f, outer_f_sel)
-        ci_m, _, n_m = sub(gc_m, inner_m_sel)
-        co_m, _, _ = sub(gc_m, outer_m_sel)
+        ci_f, vi_f, n_f, oth_f = sub(gc_f, inner_f_sel, other_at_f)
+        co_f, _, _, _ = sub(gc_f, outer_f_sel)
+        ci_m, vi_m, n_m, oth_m = sub(gc_m, inner_m_sel, other_at_m)
+        co_m, _, _, _ = sub(gc_m, outer_m_sel)
 
-        def directed(gc_q, q_sel, other_at_q, inner_t, outer_t, n_q):
+        def directed(q, q_valid, q_other, inner_t, outer_t, n_q):
             """p95 of dist-to-nearest-opposite-class-of-other over the
-            query surface.  Queries are PARTITIONED by membership in
-            `other` before the search (inside → outer shell, outside →
-            inner shell): each query point pays ONE nearest-neighbour
-            search instead of two-then-discard — half the quadratic work.
+            query surface (the other volume's label-``lab`` inner surface).
+            Queries INSIDE the other mask need its outer shell, queries
+            outside its inner surface — both searches run over the one
+            compacted query buffer and the right one is selected per
+            point afterwards.  (An earlier revision partitioned the
+            queries instead; since partitions pad to the same K the
+            search cost was identical and the two extra compactions per
+            direction were pure latency — measured on-chip.)
             """
-            del n_q
-            q_in, v_in, n_in = sub(gc_q, q_sel & (other_at_q == lab16))
-            q_out, v_out, n_out = sub(gc_q, q_sel & (other_at_q != lab16))
-            d_in = _nearest_sq(q_in, outer_t, coords_bf16_exact=bf16ok)
-            d_out = _nearest_sq(q_out, inner_t, coords_bf16_exact=bf16ok)
-            d = jnp.concatenate([
-                jnp.where(v_in, jnp.sqrt(d_in), jnp.inf),
-                jnp.where(v_out, jnp.sqrt(d_out), jnp.inf),
-            ])
-            # truncated surfaces: first-K bias per partition
-            n_eff = jnp.minimum(n_in, K) + jnp.minimum(n_out, K)
+            d_out = _nearest_sq(q, outer_t, coords_bf16_exact=bf16ok)
+            d_in = _nearest_sq(q, inner_t, coords_bf16_exact=bf16ok)
+            d2 = jnp.where(q_other == lab16, d_out, d_in)
+            d = jnp.where(q_valid, jnp.sqrt(d2), jnp.inf)
+            # truncated surfaces: first-K bias
+            n_eff = jnp.minimum(n_q, K)
             return _percentile_sorted(jnp.sort(d), n_eff, 95.0)
 
-        p1 = directed(gc_m, inner_m_sel, other_at_m, ci_f, co_f, n_m)
-        p2 = directed(gc_f, inner_f_sel, other_at_f, ci_m, co_m, n_f)
+        p1 = directed(ci_m, vi_m, oth_m, ci_f, co_f, n_m)
+        p2 = directed(ci_f, vi_f, oth_f, ci_m, co_m, n_f)
         hd = jnp.maximum(p1, p2)
         present = (counts_f[lab] > 0) & (counts_m[lab] > 0)
         return jnp.where(present, hd, missing_value)

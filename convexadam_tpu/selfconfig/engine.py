@@ -44,6 +44,7 @@ from convexadam_tpu.core.warp import (
     resize_trilinear,
     warp_with_displacement,
 )
+from convexadam_tpu.parallel.distributed import is_multiprocess
 from convexadam_tpu.parallel.distributed import make_global as _mg
 from convexadam_tpu.selfconfig.checkpoint import SweepCheckpointer
 from convexadam_tpu.selfconfig.settings import (
@@ -328,6 +329,19 @@ def _sweep_specs(mesh: Optional[Mesh]):
     )
 
 
+def _dev(arr: np.ndarray, sharding) -> jax.Array:
+    """Commit a host array to the device(s) ONCE, outside the sweep's
+    setting-chunk loop.  ``make_global`` alone leaves single-process inputs
+    as numpy, so every chunk's jit call re-uploaded the full volumes — on a
+    tunneled TPU that transfer (~40 MB/volume at ~30 MB/s) dominated the
+    sweep wall-clock ~5x over the actual device work (measured round 3)."""
+    if is_multiprocess():
+        return _mg(arr, sharding)
+    if sharding is None:
+        return jax.device_put(arr)
+    return jax.device_put(arr, sharding)
+
+
 def _pad_axis0(arr: np.ndarray, n: int) -> np.ndarray:
     """Pad axis 0 up to length ``n`` by repeating the last entry (padded
     results are computed redundantly and discarded on the host)."""
@@ -481,9 +495,13 @@ def run_stage1_sweep(
             mesh, num_labels,
             label_groups=label_groups, global_surface=k_global,
         )
-    gt_sharded = (
-        _mg(segs_np[fi_p], pair_sh) if hd95_fn is not None else None
-    )
+    # volumes go to the device(s) ONCE; only the tiny setting scalars move
+    # per chunk (see _dev — per-chunk re-upload dominated the sweep)
+    pf_d = _dev(preds_np[fi_p], pair_sh)
+    pm_d = _dev(preds_np[mi_p], pair_sh)
+    sf_d = _dev(segs_np[fi_p], pair_sh)
+    sm_d = _dev(segs_np[mi_p], pair_sh)
+    gt_sharded = sf_d if hd95_fn is not None else None
     chunks = _chunked_setting_groups(
         settings, lambda st: (st.grid_sp, st.disp_hw), setting_batch
     )
@@ -498,9 +516,7 @@ def run_stage1_sweep(
         )
         t0 = time.time()
         out = compiled[key](
-            _mg(preds_np[fi_p], pair_sh), _mg(preds_np[mi_p], pair_sh),
-            _mg(segs_np[fi_p], pair_sh), _mg(segs_np[mi_p], pair_sh),
-            _mg(mults, set_sh),
+            pf_d, pm_d, sf_d, sm_d, _mg(mults, set_sh),
         )
         hd_batch = sw = None
         if compute_hd95:
@@ -691,10 +707,12 @@ def run_stage2_sweep(
             in_shardings=(pair_sh, pair_sh, rep_sh),
             out_shardings=pair_sh,
         )
-    disps_lr = coarse_fn(
-        _mg(preds_np[fi_p], pair_sh), _mg(preds_np[mi_p], pair_sh),
-        np.float32(convex_setting.nn_mult),
-    )
+    # volumes go to the device(s) ONCE (see _dev)
+    pf_d = _dev(preds_np[fi_p], pair_sh)
+    pm_d = _dev(preds_np[mi_p], pair_sh)
+    sf_d = _dev(segs_np[fi_p], pair_sh)
+    sm_d = _dev(segs_np[mi_p], pair_sh)
+    disps_lr = coarse_fn(pf_d, pm_d, np.float32(convex_setting.nn_mult))
 
     S = len(adam_settings)
     dice = np.zeros((S, 4, 4, 2))
@@ -744,9 +762,7 @@ def run_stage2_sweep(
             mesh, num_labels,
             label_groups=label_groups, global_surface=k_global,
         )
-    gt_sharded = (
-        _mg(segs_np[fi_p], pair_sh) if hd95_fn is not None else None
-    )
+    gt_sharded = sf_d if hd95_fn is not None else None
     chunks = _chunked_setting_groups(
         adam_settings,
         lambda st: (st.grid_sp_adam, st.effective_avg_n),
@@ -763,8 +779,7 @@ def run_stage2_sweep(
         )
         t0 = time.time()
         out = compiled[key](
-            _mg(preds_np[fi_p], pair_sh), _mg(preds_np[mi_p], pair_sh),
-            _mg(segs_np[fi_p], pair_sh), _mg(segs_np[mi_p], pair_sh),
+            pf_d, pm_d, sf_d, sm_d,
             disps_lr, np.float32(convex_setting.nn_mult),
             _mg(lws, set_sh),
         )

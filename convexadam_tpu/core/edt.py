@@ -35,6 +35,7 @@ Reference HD95 semantics preserved exactly (convexAdam_hyper_util.py:32-51):
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -214,59 +215,38 @@ def _percentile_sorted(vals: jax.Array, n: jax.Array, q: float) -> jax.Array:
     return jnp.where(n > 0, vk + frac * (vk2 - vk), 0.0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_labels", "label_chunk", "max_surface", "global_surface", "labels"
-    ),
-)
-def hd95_device(
+class SurfaceLists(NamedTuple):
+    """Compacted all-labels surface lists of a (fixed, moving) volume pair —
+    the label-count-independent preamble of :func:`hd95_device`, split out
+    so the sweep engine computes it ONCE per pair and shares it across
+    label-bucket groups (each bucket used to redo two full-volume neighbour
+    stacks + compactions + bincounts)."""
+
+    own_f: jax.Array      # (Kg,) int16 label at each fixed surface voxel (-1 pad)
+    nbv_f: jax.Array      # (6, Kg) int16 face-neighbour labels (sentinel pad)
+    gc_f: jax.Array       # (3, Kg) f32 coords (_COORD_PAD pad)
+    other_at_f: jax.Array  # (Kg,) int16 moving volume's label at the voxel
+    own_m: jax.Array
+    nbv_m: jax.Array
+    gc_m: jax.Array
+    other_at_m: jax.Array
+    counts_f: jax.Array   # (num_labels+1,) per-label voxel counts
+    counts_m: jax.Array
+
+
+def surface_lists(
     seg_fixed: jax.Array,
     seg_moving: jax.Array,
     num_labels: int,
-    missing_value: float = 30.0,
-    label_chunk: int = 4,
-    max_surface: "int | None" = None,
     global_surface: "int | None" = None,
-    labels: "tuple[int, ...] | None" = None,
-) -> jax.Array:
-    """Per-label HD95 between integer label volumes, fully on device.
-
-    Drop-in for :func:`convexadam_tpu.core.metrics.hd95` (the host-EDT
-    loop) with the reference's semantics (convexAdam_hyper_util.py:32-51);
-    exact as long as no single label surface exceeds ``max_surface`` voxels
-    and the union of all label surfaces fits ``4 * max_surface``.  The
-    default is exact for volumes up to 64k voxels (K = |volume|) and caps
-    K at 65536 beyond that — a 192^3 organ surface is ~60k voxels, so
-    anatomy fits; an overflowing surface is truncated to its first K
-    voxels in raster order (the percentile sees a subset, the
-    nearest-target search overestimates) — raise ``max_surface`` if that
-    regime matters.  ``label_chunk`` labels are evaluated per sequential
-    step (vmapped within a step when it divides num_labels).
-
-    Structure: ONE cumsum+scatter compaction of the all-labels surface
-    list per volume (every inner/outer surface voxel of every label has a
-    differing face neighbour), then per-label sub-compactions over that
-    short list — full-volume work is independent of the label count.
-
-    ``labels``: optional static tuple restricting evaluation to a subset
-    (the sweep engine buckets labels by surface size so small organs pay
-    small K x K searches, not the largest label's).  Returns
-    (len(labels),) in the given order; default labels = 1..num_labels.
-
-    Returns (num_labels,) float32 for labels 1..num_labels.
-    """
+) -> SurfaceLists:
+    """Full-volume preamble of :func:`hd95_device`: one cumsum+scatter
+    compaction of the all-labels surface list per volume (every inner/outer
+    surface voxel of every label has a differing face neighbour), plus the
+    packed-word neighbour gather and per-label voxel counts."""
     H, W, D = seg_fixed.shape
     N = H * W * D
-    if max_surface is None:
-        max_surface = min(N, 65536)
-    K = max_surface
-    # ``global_surface`` caps the ALL-labels surface list; it must cover the
-    # total boundary-voxel count or sub-surfaces get truncated even when
-    # each fits K (the sweep engine sizes both from the data)
-    Kg = min(N, 4 * K) if global_surface is None else min(N, global_surface)
-    # bf16 coords are exact up to 256 (8-bit mantissa) → full-rate MXU
-    bf16ok = max(H, W, D) <= 256
+    Kg = min(N, 262144) if global_surface is None else min(N, global_surface)
     sf = seg_fixed.astype(jnp.int16)
     sm = seg_moving.astype(jnp.int16)
 
@@ -344,6 +324,29 @@ def hd95_device(
     # target shell a query needs (label-independent: gathered once)
     other_at_m = sf_flat[jnp.maximum(gidx_m, 0)]
     other_at_f = sm_flat[jnp.maximum(gidx_f, 0)]
+    return SurfaceLists(
+        own_f, nbv_f, gc_f, other_at_f,
+        own_m, nbv_m, gc_m, other_at_m,
+        counts_f, counts_m,
+    )
+
+
+def hd95_from_lists(
+    pre: SurfaceLists,
+    max_surface: int,
+    missing_value: float = 30.0,
+    label_chunk: int = 4,
+    labels: "tuple[int, ...]" = (),
+    coords_bf16_exact: bool = True,
+) -> jax.Array:
+    """Per-label HD95 from precomputed :class:`SurfaceLists` — the
+    label-bucket half of :func:`hd95_device` (see there for semantics).
+    ``coords_bf16_exact`` must only be set when every volume dim is <= 256
+    (bf16's 8-bit mantissa covers the integer lattice exactly)."""
+    K = max_surface
+    bf16ok = coords_bf16_exact
+    (own_f, nbv_f, gc_f, other_at_f,
+     own_m, nbv_m, gc_m, other_at_m, counts_f, counts_m) = pre
 
     def one_label(lab):
         lab16 = lab.astype(jnp.int16)
@@ -397,15 +400,77 @@ def hd95_device(
         present = (counts_f[lab] > 0) & (counts_m[lab] > 0)
         return jnp.where(present, hd, missing_value)
 
-    if labels is None:
-        labels = tuple(range(1, num_labels + 1))
     n_out = len(labels)
     labs = jnp.asarray(labels, jnp.int32)
     chunked = label_chunk > 1 and n_out % label_chunk == 0
-    if chunked:
+    if n_out == 1:
+        out = one_label(labs[0])
+    elif chunked:
         out = lax.map(
             jax.vmap(one_label), labs.reshape(-1, label_chunk)
         )
     else:
         out = lax.map(one_label, labs)
     return out.reshape(-1)[:n_out].astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_labels", "label_chunk", "max_surface", "global_surface", "labels"
+    ),
+)
+def hd95_device(
+    seg_fixed: jax.Array,
+    seg_moving: jax.Array,
+    num_labels: int,
+    missing_value: float = 30.0,
+    label_chunk: int = 4,
+    max_surface: "int | None" = None,
+    global_surface: "int | None" = None,
+    labels: "tuple[int, ...] | None" = None,
+) -> jax.Array:
+    """Per-label HD95 between integer label volumes, fully on device.
+
+    Drop-in for :func:`convexadam_tpu.core.metrics.hd95` (the host-EDT
+    loop) with the reference's semantics (convexAdam_hyper_util.py:32-51);
+    exact as long as no single label surface exceeds ``max_surface`` voxels
+    and the union of all label surfaces fits ``global_surface`` (default
+    ``4 * max_surface``).  The default is exact for volumes up to 64k
+    voxels (K = |volume|) and caps K at 65536 beyond that — a 192^3 organ
+    surface is ~60k voxels, so anatomy fits; an overflowing surface is
+    truncated to its first K voxels in raster order (the percentile sees a
+    subset, the nearest-target search overestimates) — raise
+    ``max_surface`` if that regime matters.  ``label_chunk`` labels are
+    evaluated per sequential step (vmapped within a step when it divides
+    num_labels).
+
+    Composed from :func:`surface_lists` (full-volume preamble, label-count
+    independent) and :func:`hd95_from_lists` (per-label K x K searches) —
+    callers evaluating several label buckets over the SAME pair should
+    call the preamble once and fan out (the sweep engine does).
+
+    ``labels``: optional static tuple restricting evaluation to a subset
+    (the sweep engine buckets labels by surface size so small organs pay
+    small K x K searches, not the largest label's).  Returns
+    (len(labels),) in the given order; default labels = 1..num_labels.
+
+    Returns (num_labels,) float32 for labels 1..num_labels.
+    """
+    H, W, D = seg_fixed.shape
+    N = H * W * D
+    if max_surface is None:
+        max_surface = min(N, 65536)
+    # ``global_surface`` caps the ALL-labels surface list; it must cover the
+    # total boundary-voxel count or sub-surfaces get truncated even when
+    # each fits K (the sweep engine sizes both from the data)
+    if global_surface is None:
+        global_surface = 4 * max_surface
+    pre = surface_lists(seg_fixed, seg_moving, num_labels, global_surface)
+    if labels is None:
+        labels = tuple(range(1, num_labels + 1))
+    # bf16 coords are exact up to 256 (8-bit mantissa) → full-rate MXU
+    return hd95_from_lists(
+        pre, max_surface, missing_value, label_chunk, labels,
+        coords_bf16_exact=max(H, W, D) <= 256,
+    )

@@ -182,8 +182,13 @@ def _suggest_label_groups(
     n = int(np.prod(segs_np.shape[1:]))
     buckets: dict = {}
     for lab in range(1, num_labels + 1):
-        k = 1 << int(np.ceil(np.log2(max(1.5 * per_label[lab - 1], 4096))))
-        k = int(min(k, min(262144, n)))
+        # multiple-of-4096 rounding, NOT power-of-two: the K x K search is
+        # quadratic in the buffer, so pow2's average 1.41x rounding slack
+        # costs ~2x extra search cells (the dominant sweep term).  The
+        # 4096 floor keeps headroom for warped surfaces that outgrow the
+        # GT-derived bound (the 1.5x slack is measured from GT only).
+        k = 4096 * int(np.ceil(1.5 * per_label[lab - 1] / 4096))
+        k = int(min(max(k, 4096), min(262144, n)))
         buckets.setdefault(k, []).append(lab)
     kg = 1 << int(np.ceil(np.log2(max(1.5 * total_worst, 4096))))
     groups = [(tuple(labs), k) for k, labs in sorted(buckets.items())]
@@ -219,25 +224,32 @@ def _make_hd95_batch_fn(
     if key in _HD95_FN_CACHE:
         return _HD95_FN_CACHE[key]
 
-    from convexadam_tpu.core.edt import hd95_device
+    from convexadam_tpu.core.edt import hd95_from_lists, surface_lists
 
     def local_fn(sf, sw):
         v_shape = sw.shape[2:-3]
         swf = sw.reshape(sw.shape[:2] + (-1,) + sw.shape[-3:])
 
+        n_vox = int(np.prod(sf.shape[-3:]))
         groups = (
             label_groups
             if label_groups is not None
-            else [(tuple(range(1, num_labels + 1)), max_surface)]
+            else [(
+                tuple(range(1, num_labels + 1)),
+                min(n_vox, 65536) if max_surface is None else max_surface,
+            )]
         )
+        bf16ok = max(sf.shape[-3:]) <= 256
 
         def per_v(sw_v, sf_i):
             seg_w = jnp.round(sw_v).astype(jnp.int32)
+            # full-volume preamble ONCE per (pair, variant); the per-group
+            # half only reruns the per-label K x K searches
+            pre = surface_lists(sf_i, seg_w, num_labels, global_surface)
             parts = [
-                hd95_device(
-                    sf_i, seg_w, num_labels,
-                    label_chunk=label_chunk, max_surface=k,
-                    global_surface=global_surface, labels=labs,
+                hd95_from_lists(
+                    pre, k, label_chunk=label_chunk, labels=labs,
+                    coords_bf16_exact=bf16ok,
                 )
                 for labs, k in groups
             ]

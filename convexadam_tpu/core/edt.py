@@ -171,6 +171,22 @@ def _nearest_sq(
     """
     Kq = query.shape[1]
     Kt = target.shape[1]
+    if (
+        chunk is None
+        and jax.default_backend() == "tpu"
+        and Kq % 128 == 0
+        and Kt % 128 == 0
+    ):
+        # fused Pallas path: distance tiles stay in VMEM (cross term on the
+        # MXU, norms + min folded in the same pass) instead of the scan
+        # below whose (Kq, chunk) blocks round-trip HBM
+        from convexadam_tpu.ops.edt_pallas import (  # noqa: PLC0415
+            nearest_sq_pallas_batchable,
+        )
+
+        return nearest_sq_pallas_batchable(
+            query, target, coords_bf16_exact=coords_bf16_exact
+        )
     if chunk is None:
         # bound the (Kq, chunk) distance block to ~32M f32 (128 MB)
         chunk = max(256, min(2048, (1 << 25) // max(Kq, 1)))

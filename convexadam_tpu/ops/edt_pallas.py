@@ -1,0 +1,131 @@
+"""Pallas TPU kernel for the HD95 surface nearest-neighbour search.
+
+:func:`convexadam_tpu.core.edt.hd95_device` reduces the reference's
+full-volume EDT HD95 (self_configuring/convexAdam_hyper_util.py:32-51) to
+min-squared-distance queries between compacted surface point sets, which
+dominate the sweep's metric cost (the search is quadratic in the point
+count).  The XLA form (core/edt.py:_nearest_sq) is a ``lax.scan`` of
+``(Kq, 3) @ (3, chunk)`` dots whose ``(Kq, chunk)`` distance blocks
+round-trip HBM between the matmul and the min-reduction.  This kernel
+keeps each distance tile in VMEM: cross term on the MXU, norms + min
+folded in the same pass, so HBM sees only the (3, K) coordinate rows and
+the (K,) running minimum.
+
+Exactness matches ``_nearest_sq``: coordinates are integer-valued f32;
+with ``coords_bf16_exact`` (every dim <= 256 so the 8-bit mantissa covers
+the lattice and the power-of-two pad) the cross term runs as bf16 inputs /
+f32 accumulate at full MXU rate, otherwise f32 precision is forced (same
+trap as core/rigid.py:_f32_matmuls).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ACC_INIT = 4.0 * 8192.0 * 8192.0  # > any real padded distance (see edt._COORD_PAD)
+
+
+def _kernel(q_ref, t_ref, out_ref, *, bf16: bool):
+    j = pl.program_id(1)
+    q = q_ref[...]  # (3, BQ)
+    t = t_ref[...]  # (3, BT)
+    qn = jnp.sum(q * q, axis=0)  # (BQ,)
+    tn = jnp.sum(t * t, axis=0)  # (BT,)
+    # (BT, BQ): queries on the LANE axis so the min folds across sublanes
+    # and the running minimum writes as a plain (1, BQ) row
+    if bf16:
+        cross = lax.dot_general(
+            t.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        cross = lax.dot_general(
+            t, q, (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    d2 = tn[:, None] + qn[None, :] - 2.0 * cross
+    m = jnp.min(d2, axis=0)[None, :]  # (1, BQ)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = m
+
+    @pl.when(j > 0)
+    def _acc():
+        out_ref[...] = jnp.minimum(out_ref[...], m)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("coords_bf16_exact", "interpret")
+)
+def nearest_sq_pallas(
+    query: jax.Array,
+    target: jax.Array,
+    coords_bf16_exact: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per query point, min squared distance to the target set.
+
+    ``query``/``target``: (3, Kq)/(3, Kt) f32 with K multiples of 256
+    (the sweep engine's buckets are multiples of 4096).  Returns (Kq,) f32.
+    """
+    _, kq = query.shape
+    _, kt = target.shape
+    bq = _pick_block(kq)
+    bt = _pick_block(kt)
+    kernel = functools.partial(_kernel, bf16=coords_bf16_exact)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, kq), jnp.float32),
+        grid=(kq // bq, kt // bt),
+        in_specs=[
+            pl.BlockSpec((3, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(query, target)
+    return out.reshape(kq)
+
+
+def _pick_block(k: int, cap: int = 1024) -> int:
+    # (BT, BQ) f32 distance tile: 1024 x 1024 = 4 MB of VMEM
+    b = min(k, cap)
+    while k % b:
+        b //= 2
+    return max(b, 128)
+
+
+_BATCHABLE_CACHE: dict = {}
+
+
+def nearest_sq_pallas_batchable(
+    query: jax.Array,
+    target: jax.Array,
+    coords_bf16_exact: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """vmap-safe wrapper: the default ``pallas_call`` batching rule prepends
+    the batch to the grid, re-keying ``pl.program_id(1)`` (the accumulation
+    axis) — map sequentially instead (total search cells are identical)."""
+    from convexadam_tpu.ops.warp_pallas import make_sequential_vmap
+
+    key = (coords_bf16_exact, interpret)
+    if key not in _BATCHABLE_CACHE:
+        _BATCHABLE_CACHE[key] = make_sequential_vmap(
+            lambda q, t: nearest_sq_pallas(
+                q, t, coords_bf16_exact=coords_bf16_exact,
+                interpret=interpret,
+            )
+        )
+    return _BATCHABLE_CACHE[key](query, target)

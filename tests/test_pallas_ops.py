@@ -344,3 +344,42 @@ def test_pallas_cost_volume_bf16_feed_bitwise_equals_f32_cast(rng):
     )
     assert out_bf16.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(out_bf16), np.asarray(out_f32))
+
+
+def test_nearest_sq_pallas_matches_xla(rng):
+    """The fused HD95 nearest-neighbour kernel (interpret mode) must equal
+    the XLA scan form exactly — integer lattice coords, f32 arithmetic —
+    including _COORD_PAD padded rows, and its sequential-vmap wrapper must
+    match per-item calls."""
+    from convexadam_tpu.core.edt import _COORD_PAD, _nearest_sq
+    from convexadam_tpu.ops.edt_pallas import (
+        nearest_sq_pallas,
+        nearest_sq_pallas_batchable,
+    )
+
+    kq, kt = 256, 384
+    q = rng.integers(0, 200, (3, kq)).astype(np.float32)
+    t = rng.integers(0, 200, (3, kt)).astype(np.float32)
+    q[:, -17:] = _COORD_PAD
+    t[:, -29:] = _COORD_PAD
+    q, t = jnp.asarray(q), jnp.asarray(t)
+
+    ref = np.asarray(_nearest_sq(q, t, chunk=128))
+    for bf16 in (False, True):
+        out = np.asarray(
+            nearest_sq_pallas(q, t, coords_bf16_exact=bf16, interpret=True)
+        )
+        np.testing.assert_array_equal(out, ref)
+
+    import jax
+
+    qs = jnp.stack([q, q[:, ::-1]])
+    ts = jnp.stack([t, t[:, ::-1]])
+    out_v = jax.vmap(
+        lambda a, b: nearest_sq_pallas_batchable(a, b, interpret=True)
+    )(qs, ts)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(out_v[i]),
+            np.asarray(nearest_sq_pallas(qs[i], ts[i], interpret=True)),
+        )

@@ -328,12 +328,18 @@ def surface_lists(
 
     own_f, nbv_f, gc_f, gidx_f = volume_side(sf)
     own_m, nbv_m, gc_m, gidx_m = volume_side(sm)
-    counts_f = jnp.bincount(
-        seg_fixed.astype(jnp.int32).reshape(-1), length=num_labels + 1
-    )
-    counts_m = jnp.bincount(
-        seg_moving.astype(jnp.int32).reshape(-1), length=num_labels + 1
-    )
+
+    def label_counts(seg16):
+        # NOT jnp.bincount: its scatter-add is per-INDEX bound on TPU
+        # (~60 ms per 4.9M-voxel volume at ~85 M idx/s) where L+1
+        # compare-and-reduce sweeps are bandwidth bound (<1 ms)
+        flat = seg16.reshape(-1)
+        return jax.vmap(
+            lambda lab: jnp.sum((flat == lab).astype(jnp.int32))
+        )(jnp.arange(num_labels + 1, dtype=jnp.int16))
+
+    counts_f = label_counts(sf)
+    counts_m = label_counts(sm)
     sf_flat = sf.reshape(-1)
     sm_flat = sm.reshape(-1)
     # the OTHER volume's label at each global surface voxel — decides which

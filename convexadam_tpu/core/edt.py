@@ -329,17 +329,11 @@ def surface_lists(
     own_f, nbv_f, gc_f, gidx_f = volume_side(sf)
     own_m, nbv_m, gc_m, gidx_m = volume_side(sm)
 
-    def label_counts(seg16):
-        # NOT jnp.bincount: its scatter-add is per-INDEX bound on TPU
-        # (~60 ms per 4.9M-voxel volume at ~85 M idx/s) where L+1
-        # compare-and-reduce sweeps are bandwidth bound (<1 ms)
-        flat = seg16.reshape(-1)
-        return jax.vmap(
-            lambda lab: jnp.sum((flat == lab).astype(jnp.int32))
-        )(jnp.arange(num_labels + 1, dtype=jnp.int16))
+    # compare-and-reduce, not bincount's per-index-bound scatter-add
+    from convexadam_tpu.core.features import label_counts  # noqa: PLC0415
 
-    counts_f = label_counts(sf)
-    counts_m = label_counts(sm)
+    counts_f = label_counts(sf, num_labels + 1)
+    counts_m = label_counts(sm, num_labels + 1)
     sf_flat = sf.reshape(-1)
     sm_flat = sm.reshape(-1)
     # the OTHER volume's label at each global surface voxel — decides which

@@ -144,6 +144,18 @@ def mindssc_multichannel(
     )
 
 
+def label_counts(seg: jax.Array, num_labels: int) -> jax.Array:
+    """Per-label voxel counts, ``jnp.bincount``-equivalent for non-negative
+    labels < num_labels.  NOT bincount: its scatter-add is per-INDEX bound
+    on TPU (~85 M idx/s — ~60 ms for a 4.9M-voxel volume) where
+    ``num_labels`` fused compare-and-sum sweeps are bandwidth bound
+    (<1 ms).  Returns (num_labels,) int32."""
+    flat = seg.astype(jnp.int32).reshape(-1)
+    return jax.vmap(
+        lambda lab: jnp.sum((flat == lab).astype(jnp.int32))
+    )(jnp.arange(num_labels, dtype=jnp.int32))
+
+
 def semantic_features(
     pred_fixed: jax.Array,
     pred_moving: jax.Array,
@@ -172,8 +184,7 @@ def semantic_features(
     if weights is None:
         eps = 1e-32
         counts = (
-            jnp.bincount(pf.reshape(-1), length=num_labels)
-            + jnp.bincount(pm.reshape(-1), length=num_labels)
+            label_counts(pf, num_labels) + label_counts(pm, num_labels)
         ).astype(jnp.float32)
         present = counts > 0
         w = 1.0 / jnp.power(counts + eps, 0.3)
@@ -198,8 +209,7 @@ def semantic_template_weights(
     ``w = 1/(bincount(a)+bincount(b))^0.3; w /= w.mean()`` — note the mean is
     over ALL labels (no joint-presence restriction) in that script."""
     counts = (
-        jnp.bincount(seg_a.astype(jnp.int32).reshape(-1), length=num_labels)
-        + jnp.bincount(seg_b.astype(jnp.int32).reshape(-1), length=num_labels)
+        label_counts(seg_a, num_labels) + label_counts(seg_b, num_labels)
     ).astype(jnp.float32)
     w = 1.0 / jnp.power(counts, 0.3)
     return w / jnp.mean(w)

@@ -30,7 +30,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from convexadam_tpu.core.adam import adam_instance_optimisation
 from convexadam_tpu.core.convex import convex_displacement
-from convexadam_tpu.core.features import mindssc, semantic_features
+from convexadam_tpu.core.features import (
+    label_counts,
+    mindssc,
+    semantic_features,
+)
 from convexadam_tpu.core.metrics import (
     dice_coeff,
     hd95,
@@ -618,9 +622,9 @@ def _stage2_pair(
     fm = fm * nn_mult
     # data-term scale = per-pair count of jointly-present labels (the sweep's
     # `n_ch`, adam_run_withconfig_shiftSpline.py:195,229)
-    counts = jnp.bincount(
-        pred_fixed.astype(jnp.int32).reshape(-1), length=num_labels + 1
-    ) + jnp.bincount(pred_moving.astype(jnp.int32).reshape(-1), length=num_labels + 1)
+    counts = label_counts(pred_fixed, num_labels + 1) + label_counts(
+        pred_moving, num_labels + 1
+    )
     cost_scale = jnp.sum(counts > 0).astype(jnp.float32)
     patch_fix = avg_pool3d(ff, g2, stride=g2)
     patch_mov = avg_pool3d(fm, g2, stride=g2)

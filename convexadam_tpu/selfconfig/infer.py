@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from convexadam_tpu.core.adam import adam_instance_optimisation
-from convexadam_tpu.core.features import semantic_features
+from convexadam_tpu.core.features import label_counts, semantic_features
 from convexadam_tpu.core.smoothing import avg_pool3d, box_smooth_repeated
 from convexadam_tpu.core.warp import resize_trilinear
 from convexadam_tpu.geometry.io import load_volume_nib_order, save_volume_nib_order
@@ -71,8 +71,8 @@ def run_inference(
         dlr = resize_trilinear(
             disp_hr, (H // g2, W // g2, D // g2), align_corners=False
         )
-        counts = jnp.bincount(pf.reshape(-1), length=num_labels + 1) + jnp.bincount(
-            pm.reshape(-1), length=num_labels + 1
+        counts = label_counts(pf, num_labels + 1) + label_counts(
+            pm, num_labels + 1
         )
         n_ch = jnp.sum(counts > 0).astype(jnp.float32)
         final, _ = adam_instance_optimisation(

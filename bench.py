@@ -18,9 +18,34 @@ is the headline metric (the driver parses the final line).
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _device_probe_or_die(timeout_s: float = 180.0) -> None:
+    """Fail fast instead of hanging when the TPU plugin's tunnel is wedged:
+    backend init blocks forever inside PJRT client creation (and holds
+    jax's global backend lock), so probe in a subprocess with a deadline
+    before this process touches the backend."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        ok = r.returncode == 0 and int(r.stdout.strip().splitlines()[-1]) > 0
+    except Exception:
+        ok = False
+    if not ok:
+        print(
+            "bench: device backend failed to initialize within "
+            f"{timeout_s:.0f}s (TPU tunnel down?) — aborting instead of "
+            "hanging",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
 
 def bench_sweep():
@@ -143,5 +168,6 @@ def main():
 
 
 if __name__ == "__main__":
+    _device_probe_or_die()
     bench_sweep()
     main()

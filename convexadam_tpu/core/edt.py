@@ -219,6 +219,36 @@ def _nearest_sq(
     return best
 
 
+def _nearest_sq_dual(
+    query: jax.Array,
+    target: jax.Array,
+    coords_bf16_exact: bool = False,
+):
+    """(min sq-dist per query point, min sq-dist per target point) — both
+    directions from one pass over the distance tiles on TPU (the fused
+    Pallas kernel); two independent scans elsewhere.  The two forms are
+    bitwise identical: per cell both compute ``qn + tn - 2*cross`` in f32
+    (addition is commutative exactly)."""
+    kq = query.shape[1]
+    kt = target.shape[1]
+    if (
+        jax.default_backend() == "tpu"
+        and kq % 128 == 0
+        and kt % 128 == 0
+    ):
+        from convexadam_tpu.ops.edt_pallas import (  # noqa: PLC0415
+            nearest_sq_dual_pallas_batchable,
+        )
+
+        return nearest_sq_dual_pallas_batchable(
+            query, target, coords_bf16_exact=coords_bf16_exact
+        )
+    return (
+        _nearest_sq(query, target, coords_bf16_exact=coords_bf16_exact),
+        _nearest_sq(target, query, coords_bf16_exact=coords_bf16_exact),
+    )
+
+
 def _percentile_sorted(vals: jax.Array, n: jax.Array, q: float) -> jax.Array:
     """numpy's linear-interpolated percentile of the first ``n`` entries of
     ascending-sorted ``vals`` (padded tail = +inf)."""
@@ -391,27 +421,34 @@ def hd95_from_lists(
         ci_m, vi_m, n_m, oth_m = sub(gc_m, inner_m_sel, other_at_m)
         co_m, _, _, _ = sub(gc_m, outer_m_sel)
 
-        def directed(q, q_valid, q_other, inner_t, outer_t, n_q):
+        # Each direction's queries are the OTHER volume's inner surface:
+        # queries INSIDE this volume's mask need its outer shell, queries
+        # outside its inner surface; both run over the one compacted query
+        # buffer and the right one is selected per point afterwards.  (An
+        # earlier revision partitioned the queries instead; since
+        # partitions pad to the same K the search cost was identical and
+        # the two extra compactions per direction were pure latency —
+        # measured on-chip.)  The inner x inner distance block is SHARED:
+        # direction 1 takes its row minima and direction 2 its column
+        # minima from one pass, so a label costs 3 K x K searches, not 4.
+        d_in_m, d_in_f = _nearest_sq_dual(
+            ci_m, ci_f, coords_bf16_exact=bf16ok
+        )
+        d_out_m = _nearest_sq(ci_m, co_f, coords_bf16_exact=bf16ok)
+        d_out_f = _nearest_sq(ci_f, co_m, coords_bf16_exact=bf16ok)
+
+        def directed(d_in, d_out, q_valid, q_other, n_q):
             """p95 of dist-to-nearest-opposite-class-of-other over the
-            query surface (the other volume's label-``lab`` inner surface).
-            Queries INSIDE the other mask need its outer shell, queries
-            outside its inner surface — both searches run over the one
-            compacted query buffer and the right one is selected per
-            point afterwards.  (An earlier revision partitioned the
-            queries instead; since partitions pad to the same K the
-            search cost was identical and the two extra compactions per
-            direction were pure latency — measured on-chip.)
-            """
-            d_out = _nearest_sq(q, outer_t, coords_bf16_exact=bf16ok)
-            d_in = _nearest_sq(q, inner_t, coords_bf16_exact=bf16ok)
+            query surface (the other volume's label-``lab`` inner
+            surface)."""
             d2 = jnp.where(q_other == lab16, d_out, d_in)
             d = jnp.where(q_valid, jnp.sqrt(d2), jnp.inf)
             # truncated surfaces: first-K bias
             n_eff = jnp.minimum(n_q, K)
             return _percentile_sorted(jnp.sort(d), n_eff, 95.0)
 
-        p1 = directed(ci_m, vi_m, oth_m, ci_f, co_f, n_m)
-        p2 = directed(ci_f, vi_f, oth_f, ci_m, co_m, n_f)
+        p1 = directed(d_in_m, d_out_m, vi_m, oth_m, n_m)
+        p2 = directed(d_in_f, d_out_f, vi_f, oth_f, n_f)
         hd = jnp.maximum(p1, p2)
         present = (counts_f[lab] > 0) & (counts_m[lab] > 0)
         return jnp.where(present, hd, missing_value)

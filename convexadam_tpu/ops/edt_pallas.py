@@ -64,13 +64,15 @@ def _kernel(q_ref, t_ref, out_ref, *, bf16: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("coords_bf16_exact", "interpret")
+    jax.jit, static_argnames=("coords_bf16_exact", "interpret", "bq", "bt")
 )
 def nearest_sq_pallas(
     query: jax.Array,
     target: jax.Array,
     coords_bf16_exact: bool = False,
     interpret: bool = False,
+    bq: "int | None" = None,
+    bt: "int | None" = None,
 ) -> jax.Array:
     """Per query point, min squared distance to the target set.
 
@@ -79,8 +81,8 @@ def nearest_sq_pallas(
     """
     _, kq = query.shape
     _, kt = target.shape
-    bq = _pick_block(kq)
-    bt = _pick_block(kt)
+    bq = _pick_block(kq) if bq is None else bq
+    bt = _pick_block(kt) if bt is None else bt
     kernel = functools.partial(_kernel, bf16=coords_bf16_exact)
     out = pl.pallas_call(
         kernel,
@@ -104,6 +106,106 @@ def _pick_block(k: int, cap: int = 1024) -> int:
     while k % b:
         b //= 2
     return max(b, 128)
+
+
+def _dual_kernel(q_ref, t_ref, outq_ref, outt_ref, *, bf16: bool):
+    j = pl.program_id(1)
+    q = q_ref[...]
+    t = t_ref[...]
+    qn = jnp.sum(q * q, axis=0)
+    tn = jnp.sum(t * t, axis=0)
+    if bf16:
+        cross = lax.dot_general(
+            t.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        cross = lax.dot_general(
+            t, q, (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    d2 = tn[:, None] + qn[None, :] - 2.0 * cross  # (BT, BQ)
+    mq = jnp.min(d2, axis=0)[None, :]  # (1, BQ)
+
+    @pl.when(j == 0)
+    def _init():
+        outq_ref[...] = mq
+
+    @pl.when(j > 0)
+    def _acc():
+        outq_ref[...] = jnp.minimum(outq_ref[...], mq)
+
+    # per-target partial for this query block: unique (j, i) slot, reduced
+    # across the query-block axis outside the kernel
+    outt_ref[...] = jnp.min(d2, axis=1)[:, None]  # (BT, 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("coords_bf16_exact", "interpret", "bq", "bt")
+)
+def nearest_sq_dual_pallas(
+    query: jax.Array,
+    target: jax.Array,
+    coords_bf16_exact: bool = False,
+    interpret: bool = False,
+    bq: "int | None" = None,
+    bt: "int | None" = None,
+) -> tuple:
+    """Both directions from ONE pass over the distance tiles: returns
+    (per-query min sq-dist to target set, per-target min sq-dist to query
+    set).  The HD95 inner-surface block ``d(ci_m, ci_f)`` feeds direction 1
+    row-wise and direction 2 column-wise, so sharing it cuts the per-label
+    search from 4 K^2 to 3 K^2 cells."""
+    _, kq = query.shape
+    _, kt = target.shape
+    bq = _pick_block(kq) if bq is None else bq
+    bt = _pick_block(kt) if bt is None else bt
+    gi, gj = kq // bq, kt // bt
+    kernel = functools.partial(_dual_kernel, bf16=coords_bf16_exact)
+    outq, outt_part = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, kq), jnp.float32),
+            jax.ShapeDtypeStruct((kt, gi), jnp.float32),
+        ),
+        grid=(gi, gj),
+        in_specs=[
+            pl.BlockSpec((3, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(query, target)
+    return outq.reshape(kq), jnp.min(outt_part, axis=1)
+
+
+_DUAL_BATCHABLE_CACHE: dict = {}
+
+
+def nearest_sq_dual_pallas_batchable(
+    query: jax.Array,
+    target: jax.Array,
+    coords_bf16_exact: bool = False,
+    interpret: bool = False,
+) -> tuple:
+    """vmap-safe wrapper for :func:`nearest_sq_dual_pallas` (sequential map,
+    same rationale as :func:`nearest_sq_pallas_batchable`)."""
+    from convexadam_tpu.ops.warp_pallas import make_sequential_vmap
+
+    key = (coords_bf16_exact, interpret)
+    if key not in _DUAL_BATCHABLE_CACHE:
+        _DUAL_BATCHABLE_CACHE[key] = make_sequential_vmap(
+            lambda q, t: nearest_sq_dual_pallas(
+                q, t, coords_bf16_exact=coords_bf16_exact,
+                interpret=interpret,
+            )
+        )
+    return _DUAL_BATCHABLE_CACHE[key](query, target)
 
 
 _BATCHABLE_CACHE: dict = {}

@@ -383,3 +383,27 @@ def test_nearest_sq_pallas_matches_xla(rng):
             np.asarray(out_v[i]),
             np.asarray(nearest_sq_pallas(qs[i], ts[i], interpret=True)),
         )
+
+
+def test_nearest_sq_dual_pallas_matches_two_scans(rng):
+    """The dual-output kernel's row/column minima must equal two
+    independent XLA scans exactly (the shared inner x inner block feeds
+    both HD95 directions)."""
+    from convexadam_tpu.core.edt import _COORD_PAD, _nearest_sq
+    from convexadam_tpu.ops.edt_pallas import nearest_sq_dual_pallas
+
+    kq, kt = 384, 256
+    q = rng.integers(0, 200, (3, kq)).astype(np.float32)
+    t = rng.integers(0, 200, (3, kt)).astype(np.float32)
+    q[:, -11:] = _COORD_PAD
+    t[:, -23:] = _COORD_PAD
+    q, t = jnp.asarray(q), jnp.asarray(t)
+
+    ref_q = np.asarray(_nearest_sq(q, t, chunk=128))
+    ref_t = np.asarray(_nearest_sq(t, q, chunk=128))
+    for bf16 in (False, True):
+        out_q, out_t = nearest_sq_dual_pallas(
+            q, t, coords_bf16_exact=bf16, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(out_q), ref_q)
+        np.testing.assert_array_equal(np.asarray(out_t), ref_t)

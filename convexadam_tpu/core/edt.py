@@ -377,53 +377,155 @@ def surface_lists(
     )
 
 
-def hd95_from_lists(
+class LabelBuffers(NamedTuple):
+    """Per-label surface point buffers, concatenated along the point axis
+    with static per-label offsets (``label_caps`` prefix sums).  Built in
+    ONE scatter pass per list from the global :class:`SurfaceLists` —
+    the earlier per-label cumsum+scatter sub-compactions cost
+    ``4 * len(labels)`` scatters over the Kg-long global list (~3 ms each
+    on the ¼-v5e chip), serial in the label count."""
+
+    inner_f: jax.Array   # (4, M) rows z,y,x,other-volume-label (f32)
+    outer_f: jax.Array   # (3, M)
+    inner_m: jax.Array
+    outer_m: jax.Array
+    n_inner_f: jax.Array  # (num_labels+1,) true inner-surface counts
+    n_inner_m: jax.Array
+    counts_f: jax.Array   # (num_labels+1,) per-label voxel counts
+    counts_m: jax.Array
+
+
+def label_buffers(
     pre: SurfaceLists,
+    num_labels: int,
+    label_caps: "tuple[int, ...]",
+) -> LabelBuffers:
+    """Partition the global surface lists into per-label buffers.
+
+    ``label_caps``: static (num_labels + 1,) per-label point capacities
+    (entry 0 — background — must be 0).  A label's inner surface is a
+    partition of the global list by own label (one rank gather + one
+    scatter); its outer shell may contain a voxel once per distinct
+    neighbouring label, so the <=6 neighbour slots are expanded with
+    in-voxel dedup and scattered once (6 Kg indices instead of
+    ``len(labels)`` Kg-sized scatters).  Raster order within each label is
+    preserved, so cap overflow keeps the old first-K truncation
+    semantics."""
+    caps = jnp.asarray(label_caps, jnp.int32)
+    offs_host = []
+    acc = 0
+    for c in label_caps:
+        offs_host.append(acc)
+        acc += int(c)
+    M = acc
+    offs = jnp.asarray(offs_host, jnp.int32)
+    labs_iota = jnp.arange(num_labels + 1, dtype=jnp.int16)
+
+    def build_side(own, nbv, gc, other_at):
+        # ---- inner: partition by own label
+        onehot = own[None, :] == labs_iota[:, None]           # (L+1, Kg)
+        ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=1) - 1
+        n_inner = ranks[:, -1] + 1
+        own_c = jnp.clip(own.astype(jnp.int32), 0, num_labels)
+        rank_own = jnp.take_along_axis(ranks, own_c[None, :], axis=0)[0]
+        valid = (own >= 1) & (rank_own < caps[own_c])
+        tgt = jnp.where(valid, offs[own_c] + rank_own, M)
+        inner = jnp.full((4, M), _COORD_PAD, jnp.float32).at[3].set(-1.0)
+        vals = jnp.concatenate(
+            [gc, other_at.astype(jnp.float32)[None]], axis=0
+        )
+        inner = inner.at[:, tgt].set(vals, mode="drop")
+        # ---- outer: expand the <=6 neighbour slots with in-voxel dedup
+        dedup = [jnp.ones(own.shape, bool)]
+        for k in range(1, 6):
+            seen = nbv[k] == nbv[0]
+            for kp in range(1, k):
+                seen = seen | (nbv[k] == nbv[kp])
+            dedup.append(~seen)
+        ovalid = (
+            (nbv != own[None])
+            & (nbv >= 1)
+            & (nbv <= num_labels)
+            & jnp.stack(dedup)
+            & (own >= 0)[None]
+        )                                                     # (6, Kg)
+        # voxel-major flattening keeps raster order within each label
+        lab_flat = nbv.T.reshape(-1)                          # (6 Kg,)
+        val_flat = ovalid.T.reshape(-1)
+        o_onehot = val_flat[None, :] & (
+            lab_flat[None, :] == labs_iota[:, None]
+        )
+        oranks = jnp.cumsum(o_onehot.astype(jnp.int32), axis=1) - 1
+        lab_c = jnp.clip(lab_flat.astype(jnp.int32), 0, num_labels)
+        rank_lab = jnp.take_along_axis(oranks, lab_c[None, :], axis=0)[0]
+        ok = val_flat & (rank_lab < caps[lab_c])
+        otgt = jnp.where(ok, offs[lab_c] + rank_lab, M)
+        gc_rep = jnp.broadcast_to(
+            gc[:, :, None], gc.shape + (6,)
+        ).reshape(3, -1)
+        outer = jnp.full((3, M), _COORD_PAD, jnp.float32)
+        outer = outer.at[:, otgt].set(gc_rep, mode="drop")
+        return inner, outer, n_inner
+
+    inner_f, outer_f, n_inner_f = build_side(
+        pre.own_f, pre.nbv_f, pre.gc_f, pre.other_at_f
+    )
+    inner_m, outer_m, n_inner_m = build_side(
+        pre.own_m, pre.nbv_m, pre.gc_m, pre.other_at_m
+    )
+    return LabelBuffers(
+        inner_f, outer_f, inner_m, outer_m,
+        n_inner_f, n_inner_m, pre.counts_f, pre.counts_m,
+    )
+
+
+def hd95_from_buffers(
+    bufs: LabelBuffers,
+    label_caps: "tuple[int, ...]",
     max_surface: int,
     missing_value: float = 30.0,
     label_chunk: int = 4,
     labels: "tuple[int, ...]" = (),
     coords_bf16_exact: bool = True,
 ) -> jax.Array:
-    """Per-label HD95 from precomputed :class:`SurfaceLists` — the
-    label-bucket half of :func:`hd95_device` (see there for semantics).
-    ``coords_bf16_exact`` must only be set when every volume dim is <= 256
-    (bf16's 8-bit mantissa covers the integer lattice exactly)."""
+    """Per-label HD95 from :class:`LabelBuffers` — the label-bucket half of
+    :func:`hd95_device` (see there for semantics).  Every label in
+    ``labels`` must have ``label_caps[lab] == max_surface`` (the sweep
+    engine's buckets group labels by capacity).  ``coords_bf16_exact``
+    must only be set when every volume dim is <= 256 (bf16's 8-bit
+    mantissa covers the integer lattice exactly)."""
     K = max_surface
     bf16ok = coords_bf16_exact
-    (own_f, nbv_f, gc_f, other_at_f,
-     own_m, nbv_m, gc_m, other_at_m, counts_f, counts_m) = pre
+    for lab in labels:
+        if label_caps[lab] != K:
+            raise ValueError(
+                f"label {lab} has cap {label_caps[lab]} != bucket K {K}"
+            )
+    offs_host = []
+    acc = 0
+    for c in label_caps:
+        offs_host.append(acc)
+        acc += int(c)
+    offs = jnp.asarray(offs_host, jnp.int32)
+    iota_k = jnp.arange(K, dtype=jnp.int32)
 
     def one_label(lab):
-        lab16 = lab.astype(jnp.int16)
-
-        def sub(coords, sel, other_at=None):
-            """Sub-compact a selection of the global list into a (3, K)
-            coord buffer (+ validity, true count, and optionally the other
-            volume's label gathered through the same compaction)."""
-            sidx, sn = _compact(sel, K)
-            sv = sidx >= 0
-            ss = jnp.maximum(sidx, 0)
-            c = jnp.where(sv[None], coords[:, ss], _COORD_PAD)
-            oth = None if other_at is None else other_at[ss]
-            return c, sv, sn, oth
-
-        inner_f_sel = own_f == lab16
-        outer_f_sel = (own_f != lab16) & (own_f >= 0) & jnp.any(
-            nbv_f == lab16, axis=0
-        )
-        inner_m_sel = own_m == lab16
-        outer_m_sel = (own_m != lab16) & (own_m >= 0) & jnp.any(
-            nbv_m == lab16, axis=0
-        )
-        ci_f, vi_f, n_f, oth_f = sub(gc_f, inner_f_sel, other_at_f)
-        co_f, _, _, _ = sub(gc_f, outer_f_sel)
-        ci_m, vi_m, n_m, oth_m = sub(gc_m, inner_m_sel, other_at_m)
-        co_m, _, _, _ = sub(gc_m, outer_m_sel)
+        off = offs[lab]
+        labf = lab.astype(jnp.float32)
+        in_f = lax.dynamic_slice(bufs.inner_f, (0, off), (4, K))
+        in_m = lax.dynamic_slice(bufs.inner_m, (0, off), (4, K))
+        co_f = lax.dynamic_slice(bufs.outer_f, (0, off), (3, K))
+        co_m = lax.dynamic_slice(bufs.outer_m, (0, off), (3, K))
+        ci_f, oth_f = in_f[:3], in_f[3]
+        ci_m, oth_m = in_m[:3], in_m[3]
+        n_f = bufs.n_inner_f[lab]
+        n_m = bufs.n_inner_m[lab]
+        vi_f = iota_k < n_f
+        vi_m = iota_k < n_m
 
         # Each direction's queries are the OTHER volume's inner surface:
         # queries INSIDE this volume's mask need its outer shell, queries
-        # outside its inner surface; both run over the one compacted query
+        # outside its inner surface; both run over the one per-label query
         # buffer and the right one is selected per point afterwards.  (An
         # earlier revision partitioned the queries instead; since
         # partitions pad to the same K the search cost was identical and
@@ -441,7 +543,7 @@ def hd95_from_lists(
             """p95 of dist-to-nearest-opposite-class-of-other over the
             query surface (the other volume's label-``lab`` inner
             surface)."""
-            d2 = jnp.where(q_other == lab16, d_out, d_in)
+            d2 = jnp.where(q_other == labf, d_out, d_in)
             d = jnp.where(q_valid, jnp.sqrt(d2), jnp.inf)
             # truncated surfaces: first-K bias
             n_eff = jnp.minimum(n_q, K)
@@ -450,7 +552,7 @@ def hd95_from_lists(
         p1 = directed(d_in_m, d_out_m, vi_m, oth_m, n_m)
         p2 = directed(d_in_f, d_out_f, vi_f, oth_f, n_f)
         hd = jnp.maximum(p1, p2)
-        present = (counts_f[lab] > 0) & (counts_m[lab] > 0)
+        present = (bufs.counts_f[lab] > 0) & (bufs.counts_m[lab] > 0)
         return jnp.where(present, hd, missing_value)
 
     n_out = len(labels)
@@ -499,9 +601,11 @@ def hd95_device(
     num_labels).
 
     Composed from :func:`surface_lists` (full-volume preamble, label-count
-    independent) and :func:`hd95_from_lists` (per-label K x K searches) —
-    callers evaluating several label buckets over the SAME pair should
-    call the preamble once and fan out (the sweep engine does).
+    independent), :func:`label_buffers` (per-label partition, one scatter
+    pass per list) and :func:`hd95_from_buffers` (per-label K x K
+    searches) — callers evaluating several label buckets over the SAME
+    pair should run the first two once and fan out (the sweep engine
+    does).
 
     ``labels``: optional static tuple restricting evaluation to a subset
     (the sweep engine buckets labels by surface size so small organs pay
@@ -522,8 +626,10 @@ def hd95_device(
     pre = surface_lists(seg_fixed, seg_moving, num_labels, global_surface)
     if labels is None:
         labels = tuple(range(1, num_labels + 1))
+    caps = (0,) + (max_surface,) * num_labels
+    bufs = label_buffers(pre, num_labels, caps)
     # bf16 coords are exact up to 256 (8-bit mantissa) → full-rate MXU
-    return hd95_from_lists(
-        pre, max_surface, missing_value, label_chunk, labels,
+    return hd95_from_buffers(
+        bufs, caps, max_surface, missing_value, label_chunk, labels,
         coords_bf16_exact=max(H, W, D) <= 256,
     )

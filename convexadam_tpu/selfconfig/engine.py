@@ -228,7 +228,11 @@ def _make_hd95_batch_fn(
     if key in _HD95_FN_CACHE:
         return _HD95_FN_CACHE[key]
 
-    from convexadam_tpu.core.edt import hd95_from_lists, surface_lists
+    from convexadam_tpu.core.edt import (
+        hd95_from_buffers,
+        label_buffers,
+        surface_lists,
+    )
 
     def local_fn(sf, sw):
         v_shape = sw.shape[2:-3]
@@ -243,16 +247,23 @@ def _make_hd95_batch_fn(
                 min(n_vox, 65536) if max_surface is None else max_surface,
             )]
         )
+        caps = [0] * (num_labels + 1)
+        for labs_g, k_g in groups:
+            for lab in labs_g:
+                caps[lab] = k_g
+        caps = tuple(caps)
         bf16ok = max(sf.shape[-3:]) <= 256
 
         def per_v(sw_v, sf_i):
             seg_w = jnp.round(sw_v).astype(jnp.int32)
-            # full-volume preamble ONCE per (pair, variant); the per-group
-            # half only reruns the per-label K x K searches
+            # full-volume preamble + per-label partition ONCE per
+            # (pair, variant); the per-group half only runs the per-label
+            # K x K searches
             pre = surface_lists(sf_i, seg_w, num_labels, global_surface)
+            bufs = label_buffers(pre, num_labels, caps)
             parts = [
-                hd95_from_lists(
-                    pre, k, label_chunk=label_chunk, labels=labs,
+                hd95_from_buffers(
+                    bufs, caps, k, label_chunk=label_chunk, labels=labs,
                     coords_bf16_exact=bf16ok,
                 )
                 for labs, k in groups

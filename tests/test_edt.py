@@ -134,3 +134,62 @@ def test_hd95_device_matches_host(rng):
     )
     assert dev[2] == 30.0
     np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_label_buffers_partition_matches_numpy(rng):
+    """label_buffers must hold, per label, the raster-order first-cap inner
+    surface voxels (with the other volume's label in row 3) and the
+    deduplicated outer-shell voxels — including cap truncation."""
+    import jax.numpy as jnp
+
+    from convexadam_tpu.core.edt import label_buffers, surface_lists
+
+    L = 3
+    shape = (9, 10, 11)
+    s1 = rng.integers(0, L + 1, shape).astype(np.int32)
+    s2 = rng.integers(0, L + 1, shape).astype(np.int32)
+
+    pre = surface_lists(jnp.asarray(s1), jnp.asarray(s2), L)
+    caps = (0, 16, 5, 16)  # label 2 truncated
+    bufs = label_buffers(pre, L, caps)
+    offs = np.cumsum([0] + list(caps))[:-1]
+
+    # numpy oracle: global surface list in raster order
+    def surf(seg):
+        nb = []
+        for ax in range(3):
+            for sh in (1, -1):
+                r = np.roll(seg, sh, ax)
+                sl = [slice(None)] * 3
+                sl[ax] = slice(0, 1) if sh == 1 else slice(-1, None)
+                r[tuple(sl)] = seg[tuple(sl)]
+                nb.append(r)
+        nb = np.stack(nb)
+        diff = (nb != seg[None]).any(0)
+        idx = np.flatnonzero(diff.reshape(-1))
+        coords = np.stack(np.unravel_index(idx, shape))  # (3, n)
+        own = seg.reshape(-1)[idx]
+        nbl = nb.reshape(6, -1)[:, idx]
+        return coords, own, nbl, idx
+
+    for seg, other, inner_b, outer_b in (
+        (s1, s2, np.asarray(bufs.inner_f), np.asarray(bufs.outer_f)),
+        (s2, s1, np.asarray(bufs.inner_m), np.asarray(bufs.outer_m)),
+    ):
+        coords, own, nbl, idx = surf(seg)
+        for lab in range(1, L + 1):
+            cap = caps[lab]
+            sel = own == lab
+            exp_in = coords[:, sel][:, :cap]
+            got = inner_b[:, offs[lab]:offs[lab] + cap]
+            n = exp_in.shape[1]
+            np.testing.assert_array_equal(got[:3, :n], exp_in)
+            assert (got[:3, n:] == 8192.0).all()
+            exp_oth = other.reshape(-1)[idx[sel]][:cap]
+            np.testing.assert_array_equal(got[3, :n], exp_oth)
+            osel = (own != lab) & (nbl == lab).any(0)
+            exp_out = coords[:, osel][:, :cap]
+            m = exp_out.shape[1]
+            got_o = outer_b[:, offs[lab]:offs[lab] + cap]
+            np.testing.assert_array_equal(got_o[:, :m], exp_out)
+            assert (got_o[:, m:] == 8192.0).all()

@@ -156,6 +156,8 @@ def _nearest_sq(
     target: jax.Array,
     chunk: "int | None" = None,
     coords_bf16_exact: bool = False,
+    n_query: "jax.Array | None" = None,
+    n_target: "jax.Array | None" = None,
 ):
     """Per query point, min squared distance to the target set.
 
@@ -185,7 +187,8 @@ def _nearest_sq(
         )
 
         return nearest_sq_pallas_batchable(
-            query, target, coords_bf16_exact=coords_bf16_exact
+            query, target, n_query, n_target,
+            coords_bf16_exact=coords_bf16_exact,
         )
     if chunk is None:
         # bound the (Kq, chunk) distance block to ~32M f32 (128 MB)
@@ -223,12 +226,16 @@ def _nearest_sq_dual(
     query: jax.Array,
     target: jax.Array,
     coords_bf16_exact: bool = False,
+    n_query: "jax.Array | None" = None,
+    n_target: "jax.Array | None" = None,
 ):
     """(min sq-dist per query point, min sq-dist per target point) — both
     directions from one pass over the distance tiles on TPU (the fused
     Pallas kernel); two independent scans elsewhere.  The two forms are
     bitwise identical: per cell both compute ``qn + tn - 2*cross`` in f32
-    (addition is commutative exactly)."""
+    (addition is commutative exactly).  ``n_query``/``n_target`` let the
+    kernel skip all-pad blocks; entries at or past a count are not
+    meaningful distances (callers mask them)."""
     kq = query.shape[1]
     kt = target.shape[1]
     if (
@@ -241,7 +248,8 @@ def _nearest_sq_dual(
         )
 
         return nearest_sq_dual_pallas_batchable(
-            query, target, coords_bf16_exact=coords_bf16_exact
+            query, target, n_query, n_target,
+            coords_bf16_exact=coords_bf16_exact,
         )
     return (
         _nearest_sq(query, target, coords_bf16_exact=coords_bf16_exact),
@@ -391,6 +399,8 @@ class LabelBuffers(NamedTuple):
     outer_m: jax.Array
     n_inner_f: jax.Array  # (num_labels+1,) true inner-surface counts
     n_inner_m: jax.Array
+    n_outer_f: jax.Array  # (num_labels+1,) true outer-shell counts
+    n_outer_m: jax.Array
     counts_f: jax.Array   # (num_labels+1,) per-label voxel counts
     counts_m: jax.Array
 
@@ -465,17 +475,19 @@ def label_buffers(
         ).reshape(3, -1)
         outer = jnp.full((3, M), _COORD_PAD, jnp.float32)
         outer = outer.at[:, otgt].set(gc_rep, mode="drop")
-        return inner, outer, n_inner
+        n_outer = oranks[:, -1] + 1
+        return inner, outer, n_inner, n_outer
 
-    inner_f, outer_f, n_inner_f = build_side(
+    inner_f, outer_f, n_inner_f, n_outer_f = build_side(
         pre.own_f, pre.nbv_f, pre.gc_f, pre.other_at_f
     )
-    inner_m, outer_m, n_inner_m = build_side(
+    inner_m, outer_m, n_inner_m, n_outer_m = build_side(
         pre.own_m, pre.nbv_m, pre.gc_m, pre.other_at_m
     )
     return LabelBuffers(
         inner_f, outer_f, inner_m, outer_m,
-        n_inner_f, n_inner_m, pre.counts_f, pre.counts_m,
+        n_inner_f, n_inner_m, n_outer_f, n_outer_m,
+        pre.counts_f, pre.counts_m,
     )
 
 
@@ -534,10 +546,17 @@ def hd95_from_buffers(
         # direction 1 takes its row minima and direction 2 its column
         # minima from one pass, so a label costs 3 K x K searches, not 4.
         d_in_m, d_in_f = _nearest_sq_dual(
-            ci_m, ci_f, coords_bf16_exact=bf16ok
+            ci_m, ci_f, coords_bf16_exact=bf16ok,
+            n_query=n_m, n_target=n_f,
         )
-        d_out_m = _nearest_sq(ci_m, co_f, coords_bf16_exact=bf16ok)
-        d_out_f = _nearest_sq(ci_f, co_m, coords_bf16_exact=bf16ok)
+        d_out_m = _nearest_sq(
+            ci_m, co_f, coords_bf16_exact=bf16ok,
+            n_query=n_m, n_target=bufs.n_outer_f[lab],
+        )
+        d_out_f = _nearest_sq(
+            ci_f, co_m, coords_bf16_exact=bf16ok,
+            n_query=n_f, n_target=bufs.n_outer_m[lab],
+        )
 
         def directed(d_in, d_out, q_valid, q_other, n_q):
             """p95 of dist-to-nearest-opposite-class-of-other over the

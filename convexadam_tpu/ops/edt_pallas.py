@@ -31,14 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 _ACC_INIT = 4.0 * 8192.0 * 8192.0  # > any real padded distance (see edt._COORD_PAD)
 
 
-def _kernel(q_ref, t_ref, out_ref, *, bf16: bool):
-    j = pl.program_id(1)
-    q = q_ref[...]  # (3, BQ)
-    t = t_ref[...]  # (3, BT)
+def _block_d2(q, t, bf16):
+    """(BT, BQ) squared distances: queries on the LANE axis so the min
+    folds across sublanes and the running minimum writes as a plain
+    (1, BQ) row."""
     qn = jnp.sum(q * q, axis=0)  # (BQ,)
     tn = jnp.sum(t * t, axis=0)  # (BT,)
-    # (BT, BQ): queries on the LANE axis so the min folds across sublanes
-    # and the running minimum writes as a plain (1, BQ) row
     if bf16:
         cross = lax.dot_general(
             t.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
@@ -51,15 +49,26 @@ def _kernel(q_ref, t_ref, out_ref, *, bf16: bool):
             precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-    d2 = tn[:, None] + qn[None, :] - 2.0 * cross
-    m = jnp.min(d2, axis=0)[None, :]  # (1, BQ)
+    return tn[:, None] + qn[None, :] - 2.0 * cross
+
+
+def _kernel(nq_ref, nt_ref, q_ref, t_ref, out_ref, *, bf16: bool,
+            bq: int, bt: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # Padded points sit at the buffer tails, so whole dead blocks skip the
+    # MXU/VPU work: pad targets (coords = _COORD_PAD) never win the min and
+    # pad queries are masked by the caller — the skip is exact, and buffer
+    # rounding slack multiplies in BOTH factors of the K x K search.
+    live = (i * bq < nq_ref[0, 0]) & (j * bt < nt_ref[0, 0])
 
     @pl.when(j == 0)
     def _init():
-        out_ref[...] = m
+        out_ref[...] = jnp.full_like(out_ref[...], _ACC_INIT)
 
-    @pl.when(j > 0)
+    @pl.when(live)
     def _acc():
+        m = jnp.min(_block_d2(q_ref[...], t_ref[...], bf16), axis=0)[None, :]
         out_ref[...] = jnp.minimum(out_ref[...], m)
 
 
@@ -69,6 +78,8 @@ def _kernel(q_ref, t_ref, out_ref, *, bf16: bool):
 def nearest_sq_pallas(
     query: jax.Array,
     target: jax.Array,
+    n_query: "jax.Array | None" = None,
+    n_target: "jax.Array | None" = None,
     coords_bf16_exact: bool = False,
     interpret: bool = False,
     bq: "int | None" = None,
@@ -77,18 +88,30 @@ def nearest_sq_pallas(
     """Per query point, min squared distance to the target set.
 
     ``query``/``target``: (3, Kq)/(3, Kt) f32 with K multiples of 256
-    (the sweep engine's buckets are multiples of 4096).  Returns (Kq,) f32.
+    (the sweep engine's buckets are multiples of 4096).  ``n_query`` /
+    ``n_target``: optional scalar true point counts — blocks entirely past
+    them are skipped (exact: the tails are _COORD_PAD points).  Entries at
+    or past ``n_query`` are NOT meaningful distances when the skip fires
+    (the caller masks them).  Returns (Kq,) f32.
     """
     _, kq = query.shape
     _, kt = target.shape
     bq = _pick_block(kq) if bq is None else bq
     bt = _pick_block(kt) if bt is None else bt
-    kernel = functools.partial(_kernel, bf16=coords_bf16_exact)
+    nq = jnp.full((1, 1), kq, jnp.int32) if n_query is None else (
+        jnp.asarray(n_query, jnp.int32).reshape(1, 1)
+    )
+    nt = jnp.full((1, 1), kt, jnp.int32) if n_target is None else (
+        jnp.asarray(n_target, jnp.int32).reshape(1, 1)
+    )
+    kernel = functools.partial(_kernel, bf16=coords_bf16_exact, bq=bq, bt=bt)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, kq), jnp.float32),
         grid=(kq // bq, kt // bt),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -96,7 +119,7 @@ def nearest_sq_pallas(
             (1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(query, target)
+    )(nq, nt, query, target)
     return out.reshape(kq)
 
 
@@ -108,38 +131,29 @@ def _pick_block(k: int, cap: int = 1024) -> int:
     return max(b, 128)
 
 
-def _dual_kernel(q_ref, t_ref, outq_ref, outt_ref, *, bf16: bool):
+def _dual_kernel(nq_ref, nt_ref, q_ref, t_ref, outq_ref, outt_ref, *,
+                 bf16: bool, bq: int, bt: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    q = q_ref[...]
-    t = t_ref[...]
-    qn = jnp.sum(q * q, axis=0)
-    tn = jnp.sum(t * t, axis=0)
-    if bf16:
-        cross = lax.dot_general(
-            t.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        cross = lax.dot_general(
-            t, q, (((0,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-    d2 = tn[:, None] + qn[None, :] - 2.0 * cross  # (BT, BQ)
-    mq = jnp.min(d2, axis=0)[None, :]  # (1, BQ)
+    live = (i * bq < nq_ref[0, 0]) & (j * bt < nt_ref[0, 0])
 
     @pl.when(j == 0)
     def _init():
-        outq_ref[...] = mq
+        outq_ref[...] = jnp.full_like(outq_ref[...], _ACC_INIT)
 
-    @pl.when(j > 0)
+    @pl.when(live)
     def _acc():
-        outq_ref[...] = jnp.minimum(outq_ref[...], mq)
+        d2 = _block_d2(q_ref[...], t_ref[...], bf16)  # (BT, BQ)
+        outq_ref[...] = jnp.minimum(
+            outq_ref[...], jnp.min(d2, axis=0)[None, :]
+        )
+        # per-target partial for this query block: unique (j, i) slot,
+        # reduced across the query-block axis outside the kernel
+        outt_ref[...] = jnp.min(d2, axis=1)[:, None]  # (BT, 1)
 
-    # per-target partial for this query block: unique (j, i) slot, reduced
-    # across the query-block axis outside the kernel
-    outt_ref[...] = jnp.min(d2, axis=1)[:, None]  # (BT, 1)
+    @pl.when(jnp.logical_not(live))
+    def _dead():
+        outt_ref[...] = jnp.full_like(outt_ref[...], _ACC_INIT)
 
 
 @functools.partial(
@@ -148,6 +162,8 @@ def _dual_kernel(q_ref, t_ref, outq_ref, outt_ref, *, bf16: bool):
 def nearest_sq_dual_pallas(
     query: jax.Array,
     target: jax.Array,
+    n_query: "jax.Array | None" = None,
+    n_target: "jax.Array | None" = None,
     coords_bf16_exact: bool = False,
     interpret: bool = False,
     bq: "int | None" = None,
@@ -157,13 +173,23 @@ def nearest_sq_dual_pallas(
     (per-query min sq-dist to target set, per-target min sq-dist to query
     set).  The HD95 inner-surface block ``d(ci_m, ci_f)`` feeds direction 1
     row-wise and direction 2 column-wise, so sharing it cuts the per-label
-    search from 4 K^2 to 3 K^2 cells."""
+    search from 4 K^2 to 3 K^2 cells.  ``n_query``/``n_target`` skip dead
+    pad blocks as in :func:`nearest_sq_pallas` (entries at or past a count
+    are not meaningful distances)."""
     _, kq = query.shape
     _, kt = target.shape
     bq = _pick_block(kq) if bq is None else bq
     bt = _pick_block(kt) if bt is None else bt
     gi, gj = kq // bq, kt // bt
-    kernel = functools.partial(_dual_kernel, bf16=coords_bf16_exact)
+    nq = jnp.full((1, 1), kq, jnp.int32) if n_query is None else (
+        jnp.asarray(n_query, jnp.int32).reshape(1, 1)
+    )
+    nt = jnp.full((1, 1), kt, jnp.int32) if n_target is None else (
+        jnp.asarray(n_target, jnp.int32).reshape(1, 1)
+    )
+    kernel = functools.partial(
+        _dual_kernel, bf16=coords_bf16_exact, bq=bq, bt=bt
+    )
     outq, outt_part = pl.pallas_call(
         kernel,
         out_shape=(
@@ -172,6 +198,8 @@ def nearest_sq_dual_pallas(
         ),
         grid=(gi, gj),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -180,7 +208,7 @@ def nearest_sq_dual_pallas(
             pl.BlockSpec((bt, 1), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(query, target)
+    )(nq, nt, query, target)
     return outq.reshape(kq), jnp.min(outt_part, axis=1)
 
 
@@ -190,6 +218,8 @@ _DUAL_BATCHABLE_CACHE: dict = {}
 def nearest_sq_dual_pallas_batchable(
     query: jax.Array,
     target: jax.Array,
+    n_query: "jax.Array | None" = None,
+    n_target: "jax.Array | None" = None,
     coords_bf16_exact: bool = False,
     interpret: bool = False,
 ) -> tuple:
@@ -200,12 +230,16 @@ def nearest_sq_dual_pallas_batchable(
     key = (coords_bf16_exact, interpret)
     if key not in _DUAL_BATCHABLE_CACHE:
         _DUAL_BATCHABLE_CACHE[key] = make_sequential_vmap(
-            lambda q, t: nearest_sq_dual_pallas(
-                q, t, coords_bf16_exact=coords_bf16_exact,
+            lambda q, t, nq, nt: nearest_sq_dual_pallas(
+                q, t, nq, nt, coords_bf16_exact=coords_bf16_exact,
                 interpret=interpret,
             )
         )
-    return _DUAL_BATCHABLE_CACHE[key](query, target)
+    kq = query.shape[1]
+    kt = target.shape[1]
+    nq = jnp.int32(kq) if n_query is None else n_query
+    nt = jnp.int32(kt) if n_target is None else n_target
+    return _DUAL_BATCHABLE_CACHE[key](query, target, nq, nt)
 
 
 _BATCHABLE_CACHE: dict = {}
@@ -214,6 +248,8 @@ _BATCHABLE_CACHE: dict = {}
 def nearest_sq_pallas_batchable(
     query: jax.Array,
     target: jax.Array,
+    n_query: "jax.Array | None" = None,
+    n_target: "jax.Array | None" = None,
     coords_bf16_exact: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
@@ -225,9 +261,13 @@ def nearest_sq_pallas_batchable(
     key = (coords_bf16_exact, interpret)
     if key not in _BATCHABLE_CACHE:
         _BATCHABLE_CACHE[key] = make_sequential_vmap(
-            lambda q, t: nearest_sq_pallas(
-                q, t, coords_bf16_exact=coords_bf16_exact,
+            lambda q, t, nq, nt: nearest_sq_pallas(
+                q, t, nq, nt, coords_bf16_exact=coords_bf16_exact,
                 interpret=interpret,
             )
         )
-    return _BATCHABLE_CACHE[key](query, target)
+    kq = query.shape[1]
+    kt = target.shape[1]
+    nq = jnp.int32(kq) if n_query is None else n_query
+    nt = jnp.int32(kt) if n_target is None else n_target
+    return _BATCHABLE_CACHE[key](query, target, nq, nt)

@@ -407,3 +407,36 @@ def test_nearest_sq_dual_pallas_matches_two_scans(rng):
         )
         np.testing.assert_array_equal(np.asarray(out_q), ref_q)
         np.testing.assert_array_equal(np.asarray(out_t), ref_t)
+
+
+def test_nearest_sq_pallas_block_skip_exact_on_live_entries(rng):
+    """Passing true point counts skips all-pad blocks; entries below the
+    query count must still match the XLA scan exactly (pad targets never
+    win the min), for both the single and dual kernels."""
+    from convexadam_tpu.core.edt import _COORD_PAD, _nearest_sq
+    from convexadam_tpu.ops.edt_pallas import (
+        nearest_sq_dual_pallas,
+        nearest_sq_pallas,
+    )
+
+    kq, kt, nq, nt = 512, 640, 300, 200
+    q = np.full((3, kq), _COORD_PAD, np.float32)
+    t = np.full((3, kt), _COORD_PAD, np.float32)
+    q[:, :nq] = rng.integers(0, 200, (3, nq))
+    t[:, :nt] = rng.integers(0, 200, (3, nt))
+    q, t = jnp.asarray(q), jnp.asarray(t)
+
+    ref_q = np.asarray(_nearest_sq(q, t, chunk=128))
+    ref_t = np.asarray(_nearest_sq(t, q, chunk=128))
+    out = np.asarray(
+        nearest_sq_pallas(
+            q, t, jnp.int32(nq), jnp.int32(nt), interpret=True, bq=128,
+            bt=128,
+        )
+    )
+    np.testing.assert_array_equal(out[:nq], ref_q[:nq])
+    out_q, out_t = nearest_sq_dual_pallas(
+        q, t, jnp.int32(nq), jnp.int32(nt), interpret=True, bq=128, bt=128
+    )
+    np.testing.assert_array_equal(np.asarray(out_q)[:nq], ref_q[:nq])
+    np.testing.assert_array_equal(np.asarray(out_t)[:nt], ref_t[:nt])

@@ -215,7 +215,7 @@ def _make_hd95_batch_fn(
 
     Replaces the reference's host loop of cupy/scipy EDTs
     (convexAdam_hyper_util.py:32-51, convex_run_withconfig.py:143): each
-    device runs the jump-flood HD95 (core/edt.py) sequentially over its
+    device runs the surface point-set HD95 (core/edt.py) sequentially over its
     LOCAL (setting, pair) shard via ``shard_map`` — the metric stays inside
     the SPMD program instead of serializing the mesh behind one host.
     """
@@ -435,8 +435,8 @@ def run_stage1_sweep(
 ) -> SweepResult:
     """Stage-1 semantic sweep (convex_run_withconfig.py:78-172).
 
-    ``hd95_mode``: "device" evaluates HD95 with the on-device jump-flood
-    EDT sharded over the mesh (see :func:`_make_hd95_batch_fn`); "host"
+    ``hd95_mode``: "device" evaluates HD95 with the on-device surface
+    point-set search sharded over the mesh (see :func:`_make_hd95_batch_fn`); "host"
     keeps the reference-style scipy/C++ EDT host loop; None (default)
     picks "device" on TPU and "host" on CPU (the single-threaded host
     of this repo's CI runs scipy faster than XLA:CPU runs the flood).

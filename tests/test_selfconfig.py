@@ -298,7 +298,7 @@ def test_paired_sweeps_end_to_end():
 
 
 def test_stage1_hd95_device_matches_host_loop():
-    """hd95_mode='device' (jump-flood EDT inside the SPMD program) must
+    """hd95_mode='device' (surface point-set search inside the SPMD program) must
     reproduce the reference-style host EDT loop exactly.  Small volumes:
     the flood is built for the TPU VPU; on this single-core CPU host it is
     test-sized only (hence the platform-aware default)."""

@@ -158,11 +158,12 @@ def _suggest_label_groups(
 ) -> tuple[list, int]:
     """Bucket labels by surface size for hd95_device: returns
     ([(labels_tuple, K)], global_cap).  Each label's point-set buffer K is
-    the next power of two above 1.5x its largest ground-truth surface
-    count (warped predictions have comparable surface area), so small
+    1.5x its largest ground-truth surface count (warped predictions have
+    comparable surface area) rounded up to a multiple of 4096, so small
     organs pay small K x K nearest-neighbour searches instead of the
-    largest label's — the search cost is quadratic in K and the
-    contraction dim is 3, i.e. VPU-bound, so this is the dominant lever."""
+    largest label's (the search is quadratic in the buffer; with the
+    kernels' all-pad block skipping the buckets mainly bound buffer
+    memory, sort length and compile variety)."""
     per_label = np.ones(num_labels)
     total_worst = 1
     for seg in segs_np:

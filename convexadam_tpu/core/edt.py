@@ -35,11 +35,18 @@ Reference HD95 semantics preserved exactly (convexAdam_hyper_util.py:32-51):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _pallas_enabled() -> bool:
+    """CONVEXADAM_HD95_PALLAS=0 forces the XLA scan search (kill switch for
+    the fused kernels; identical results)."""
+    return os.environ.get("CONVEXADAM_HD95_PALLAS", "1") != "0"
 
 _SENTINEL = jnp.int32(2**30)  # "no seed known" squared distance
 _REL_SENT = 8192  # sentinel relative offset: 3*(8192+512)^2 < 2^31
@@ -178,6 +185,7 @@ def _nearest_sq(
         and jax.default_backend() == "tpu"
         and Kq % 128 == 0
         and Kt % 128 == 0
+        and _pallas_enabled()
     ):
         # fused Pallas path: distance tiles stay in VMEM (cross term on the
         # MXU, norms + min folded in the same pass) instead of the scan
@@ -242,6 +250,7 @@ def _nearest_sq_dual(
         jax.default_backend() == "tpu"
         and kq % 128 == 0
         and kt % 128 == 0
+        and _pallas_enabled()
     ):
         from convexadam_tpu.ops.edt_pallas import (  # noqa: PLC0415
             nearest_sq_dual_pallas_batchable,

@@ -236,14 +236,19 @@ def _nearest_sq_dual(
     coords_bf16_exact: bool = False,
     n_query: "jax.Array | None" = None,
     n_target: "jax.Array | None" = None,
+    head_query: "jax.Array | None" = None,
+    head_target: "jax.Array | None" = None,
 ):
     """(min sq-dist per query point, min sq-dist per target point) — both
     directions from one pass over the distance tiles on TPU (the fused
     Pallas kernel); two independent scans elsewhere.  The two forms are
     bitwise identical: per cell both compute ``qn + tn - 2*cross`` in f32
     (addition is commutative exactly).  ``n_query``/``n_target`` let the
-    kernel skip all-pad blocks; entries at or past a count are not
-    meaningful distances (callers mask them)."""
+    kernel skip all-pad blocks; with ``head_query``/``head_target`` the
+    caller declares the per-query output meaningful only PAST head_query
+    (and per-target past head_target), letting the kernel also skip
+    blocks entirely inside the (head x head) corner.  Entries outside the
+    meaningful ranges are garbage (callers mask them)."""
     kq = query.shape[1]
     kt = target.shape[1]
     if (
@@ -257,7 +262,7 @@ def _nearest_sq_dual(
         )
 
         return nearest_sq_dual_pallas_batchable(
-            query, target, n_query, n_target,
+            query, target, n_query, n_target, head_query, head_target,
             coords_bf16_exact=coords_bf16_exact,
         )
     return (
@@ -402,12 +407,14 @@ class LabelBuffers(NamedTuple):
     ``4 * len(labels)`` scatters over the Kg-long global list (~3 ms each
     on the ¼-v5e chip), serial in the label count."""
 
-    inner_f: jax.Array   # (4, M) rows z,y,x,other-volume-label (f32)
+    inner_f: jax.Array   # (3, M) z,y,x; [inside | outside] segments per label
     outer_f: jax.Array   # (3, M)
     inner_m: jax.Array
     outer_m: jax.Array
     n_inner_f: jax.Array  # (num_labels+1,) true inner-surface counts
     n_inner_m: jax.Array
+    n_inside_f: jax.Array  # (num_labels+1,) inner voxels INSIDE the other mask
+    n_inside_m: jax.Array
     n_outer_f: jax.Array  # (num_labels+1,) true outer-shell counts
     n_outer_m: jax.Array
     counts_f: jax.Array   # (num_labels+1,) per-label voxel counts
@@ -427,9 +434,14 @@ def label_buffers(
     scatter); its outer shell may contain a voxel once per distinct
     neighbouring label, so the <=6 neighbour slots are expanded with
     in-voxel dedup and scattered once (6 Kg indices instead of
-    ``len(labels)`` Kg-sized scatters).  Raster order within each label is
-    preserved, so cap overflow keeps the old first-K truncation
-    semantics."""
+    ``len(labels)`` Kg-sized scatters).
+
+    Each label's inner list is ordered ``[inside-other-mask | outside]``
+    (raster within each segment): inside queries only ever search the
+    other volume's OUTER shell and outside queries its INNER surface, so
+    the segment boundary (``n_inside_*``) lets the search kernels skip the
+    dead sub-blocks.  On cap overflow the inside segment keeps its
+    first-cap voxels and the outside segment is truncated/dropped."""
     caps = jnp.asarray(label_caps, jnp.int32)
     offs_host = []
     acc = 0
@@ -441,19 +453,26 @@ def label_buffers(
     labs_iota = jnp.arange(num_labels + 1, dtype=jnp.int16)
 
     def build_side(own, nbv, gc, other_at):
-        # ---- inner: partition by own label
+        # ---- inner: partition by own label, [inside | outside] segments.
+        # "inside the other volume's mask" is label-independent for a
+        # surface voxel of label l: other_at == own.
+        inside = other_at == own
         onehot = own[None, :] == labs_iota[:, None]           # (L+1, Kg)
-        ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=1) - 1
-        n_inner = ranks[:, -1] + 1
+        oh_in = onehot & inside[None, :]
+        ranks_in = jnp.cumsum(oh_in.astype(jnp.int32), axis=1) - 1
+        ranks_out = jnp.cumsum(
+            (onehot & ~inside[None, :]).astype(jnp.int32), axis=1
+        ) - 1
+        n_inside = ranks_in[:, -1] + 1
+        n_inner = n_inside + ranks_out[:, -1] + 1
         own_c = jnp.clip(own.astype(jnp.int32), 0, num_labels)
-        rank_own = jnp.take_along_axis(ranks, own_c[None, :], axis=0)[0]
-        valid = (own >= 1) & (rank_own < caps[own_c])
-        tgt = jnp.where(valid, offs[own_c] + rank_own, M)
-        inner = jnp.full((4, M), _COORD_PAD, jnp.float32).at[3].set(-1.0)
-        vals = jnp.concatenate(
-            [gc, other_at.astype(jnp.float32)[None]], axis=0
-        )
-        inner = inner.at[:, tgt].set(vals, mode="drop")
+        r_in = jnp.take_along_axis(ranks_in, own_c[None, :], axis=0)[0]
+        r_out = jnp.take_along_axis(ranks_out, own_c[None, :], axis=0)[0]
+        pos = jnp.where(inside, r_in, n_inside[own_c] + r_out)
+        valid = (own >= 1) & (pos < caps[own_c])
+        tgt = jnp.where(valid, offs[own_c] + pos, M)
+        inner = jnp.full((3, M), _COORD_PAD, jnp.float32)
+        inner = inner.at[:, tgt].set(gc, mode="drop")
         # ---- outer: expand the <=6 neighbour slots with in-voxel dedup
         dedup = [jnp.ones(own.shape, bool)]
         for k in range(1, 6):
@@ -485,18 +504,18 @@ def label_buffers(
         outer = jnp.full((3, M), _COORD_PAD, jnp.float32)
         outer = outer.at[:, otgt].set(gc_rep, mode="drop")
         n_outer = oranks[:, -1] + 1
-        return inner, outer, n_inner, n_outer
+        return inner, outer, n_inner, n_inside, n_outer
 
-    inner_f, outer_f, n_inner_f, n_outer_f = build_side(
+    inner_f, outer_f, n_inner_f, n_inside_f, n_outer_f = build_side(
         pre.own_f, pre.nbv_f, pre.gc_f, pre.other_at_f
     )
-    inner_m, outer_m, n_inner_m, n_outer_m = build_side(
+    inner_m, outer_m, n_inner_m, n_inside_m, n_outer_m = build_side(
         pre.own_m, pre.nbv_m, pre.gc_m, pre.other_at_m
     )
     return LabelBuffers(
         inner_f, outer_f, inner_m, outer_m,
-        n_inner_f, n_inner_m, n_outer_f, n_outer_m,
-        pre.counts_f, pre.counts_m,
+        n_inner_f, n_inner_m, n_inside_f, n_inside_m,
+        n_outer_f, n_outer_m, pre.counts_f, pre.counts_m,
     )
 
 
@@ -532,53 +551,52 @@ def hd95_from_buffers(
 
     def one_label(lab):
         off = offs[lab]
-        labf = lab.astype(jnp.float32)
-        in_f = lax.dynamic_slice(bufs.inner_f, (0, off), (4, K))
-        in_m = lax.dynamic_slice(bufs.inner_m, (0, off), (4, K))
+        ci_f = lax.dynamic_slice(bufs.inner_f, (0, off), (3, K))
+        ci_m = lax.dynamic_slice(bufs.inner_m, (0, off), (3, K))
         co_f = lax.dynamic_slice(bufs.outer_f, (0, off), (3, K))
         co_m = lax.dynamic_slice(bufs.outer_m, (0, off), (3, K))
-        ci_f, oth_f = in_f[:3], in_f[3]
-        ci_m, oth_m = in_m[:3], in_m[3]
         n_f = bufs.n_inner_f[lab]
         n_m = bufs.n_inner_m[lab]
-        vi_f = iota_k < n_f
-        vi_m = iota_k < n_m
+        # segment boundary clamps to the cap (overflow keeps inside-first)
+        in_f = jnp.minimum(bufs.n_inside_f[lab], K)
+        in_m = jnp.minimum(bufs.n_inside_m[lab], K)
 
         # Each direction's queries are the OTHER volume's inner surface:
-        # queries INSIDE this volume's mask need its outer shell, queries
-        # outside its inner surface; both run over the one per-label query
-        # buffer and the right one is selected per point afterwards.  (An
-        # earlier revision partitioned the queries instead; since
-        # partitions pad to the same K the search cost was identical and
-        # the two extra compactions per direction were pure latency —
-        # measured on-chip.)  The inner x inner distance block is SHARED:
+        # queries INSIDE this volume's mask (the buffer's head segment)
+        # need its outer shell, queries outside (the tail segment) its
+        # inner surface — the segment boundary drives block skipping and a
+        # positional select.  The inner x inner distance block is SHARED:
         # direction 1 takes its row minima and direction 2 its column
-        # minima from one pass, so a label costs 3 K x K searches, not 4.
+        # minima from one pass, and only its (outside_m rows | outside_f
+        # cols) sub-blocks are live — a label costs
+        # n_m*n_f - in_m*in_f + in_m*n_out_f + in_f*n_out_m cells instead
+        # of 4 K^2.
         d_in_m, d_in_f = _nearest_sq_dual(
             ci_m, ci_f, coords_bf16_exact=bf16ok,
             n_query=n_m, n_target=n_f,
+            head_query=in_m, head_target=in_f,
         )
         d_out_m = _nearest_sq(
             ci_m, co_f, coords_bf16_exact=bf16ok,
-            n_query=n_m, n_target=bufs.n_outer_f[lab],
+            n_query=in_m, n_target=bufs.n_outer_f[lab],
         )
         d_out_f = _nearest_sq(
             ci_f, co_m, coords_bf16_exact=bf16ok,
-            n_query=n_f, n_target=bufs.n_outer_m[lab],
+            n_query=in_f, n_target=bufs.n_outer_m[lab],
         )
 
-        def directed(d_in, d_out, q_valid, q_other, n_q):
+        def directed(d_in, d_out, n_inside, n_q):
             """p95 of dist-to-nearest-opposite-class-of-other over the
             query surface (the other volume's label-``lab`` inner
             surface)."""
-            d2 = jnp.where(q_other == labf, d_out, d_in)
-            d = jnp.where(q_valid, jnp.sqrt(d2), jnp.inf)
+            d2 = jnp.where(iota_k < n_inside, d_out, d_in)
+            d = jnp.where(iota_k < n_q, jnp.sqrt(d2), jnp.inf)
             # truncated surfaces: first-K bias
             n_eff = jnp.minimum(n_q, K)
             return _percentile_sorted(jnp.sort(d), n_eff, 95.0)
 
-        p1 = directed(d_in_m, d_out_m, vi_m, oth_m, n_m)
-        p2 = directed(d_in_f, d_out_f, vi_f, oth_f, n_f)
+        p1 = directed(d_in_m, d_out_m, in_m, n_m)
+        p2 = directed(d_in_f, d_out_f, in_f, n_f)
         hd = jnp.maximum(p1, p2)
         present = (bufs.counts_f[lab] > 0) & (bufs.counts_m[lab] > 0)
         return jnp.where(present, hd, missing_value)

@@ -131,11 +131,21 @@ def _pick_block(k: int, cap: int = 1024) -> int:
     return max(b, 128)
 
 
-def _dual_kernel(nq_ref, nt_ref, q_ref, t_ref, outq_ref, outt_ref, *,
-                 bf16: bool, bq: int, bt: int):
+def _dual_kernel(nq_ref, nt_ref, hq_ref, ht_ref, q_ref, t_ref,
+                 outq_ref, outt_ref, *, bf16: bool, bq: int, bt: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    live = (i * bq < nq_ref[0, 0]) & (j * bt < nt_ref[0, 0])
+    # tails past the true counts are all-pad; the (head_q x head_t) corner
+    # is declared dead by the caller (its per-query outputs are only read
+    # past head_q and per-target outputs past head_t)
+    live = (
+        (i * bq < nq_ref[0, 0])
+        & (j * bt < nt_ref[0, 0])
+        & (
+            ((i + 1) * bq > hq_ref[0, 0])
+            | ((j + 1) * bt > ht_ref[0, 0])
+        )
+    )
 
     @pl.when(j == 0)
     def _init():
@@ -164,6 +174,8 @@ def nearest_sq_dual_pallas(
     target: jax.Array,
     n_query: "jax.Array | None" = None,
     n_target: "jax.Array | None" = None,
+    head_query: "jax.Array | None" = None,
+    head_target: "jax.Array | None" = None,
     coords_bf16_exact: bool = False,
     interpret: bool = False,
     bq: "int | None" = None,
@@ -174,22 +186,30 @@ def nearest_sq_dual_pallas(
     set).  The HD95 inner-surface block ``d(ci_m, ci_f)`` feeds direction 1
     row-wise and direction 2 column-wise, so sharing it cuts the per-label
     search from 4 K^2 to 3 K^2 cells.  ``n_query``/``n_target`` skip dead
-    pad blocks as in :func:`nearest_sq_pallas` (entries at or past a count
-    are not meaningful distances)."""
+    pad blocks as in :func:`nearest_sq_pallas`; ``head_query`` /
+    ``head_target`` additionally declare the (head x head) corner dead:
+    per-query outputs are then meaningful only at positions in
+    [head_query, n_query) and per-target outputs in [head_target,
+    n_target)."""
     _, kq = query.shape
     _, kt = target.shape
     bq = _pick_block(kq) if bq is None else bq
     bt = _pick_block(kt) if bt is None else bt
     gi, gj = kq // bq, kt // bt
-    nq = jnp.full((1, 1), kq, jnp.int32) if n_query is None else (
-        jnp.asarray(n_query, jnp.int32).reshape(1, 1)
-    )
-    nt = jnp.full((1, 1), kt, jnp.int32) if n_target is None else (
-        jnp.asarray(n_target, jnp.int32).reshape(1, 1)
-    )
+
+    def scalar(v, default):
+        return jnp.full((1, 1), default, jnp.int32) if v is None else (
+            jnp.asarray(v, jnp.int32).reshape(1, 1)
+        )
+
+    nq = scalar(n_query, kq)
+    nt = scalar(n_target, kt)
+    hq = scalar(head_query, 0)
+    ht = scalar(head_target, 0)
     kernel = functools.partial(
         _dual_kernel, bf16=coords_bf16_exact, bq=bq, bt=bt
     )
+    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     outq, outt_part = pl.pallas_call(
         kernel,
         out_shape=(
@@ -198,8 +218,7 @@ def nearest_sq_dual_pallas(
         ),
         grid=(gi, gj),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            smem, smem, smem, smem,
             pl.BlockSpec((3, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -208,7 +227,7 @@ def nearest_sq_dual_pallas(
             pl.BlockSpec((bt, 1), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(nq, nt, query, target)
+    )(nq, nt, hq, ht, query, target)
     return outq.reshape(kq), jnp.min(outt_part, axis=1)
 
 
@@ -220,6 +239,8 @@ def nearest_sq_dual_pallas_batchable(
     target: jax.Array,
     n_query: "jax.Array | None" = None,
     n_target: "jax.Array | None" = None,
+    head_query: "jax.Array | None" = None,
+    head_target: "jax.Array | None" = None,
     coords_bf16_exact: bool = False,
     interpret: bool = False,
 ) -> tuple:
@@ -230,16 +251,18 @@ def nearest_sq_dual_pallas_batchable(
     key = (coords_bf16_exact, interpret)
     if key not in _DUAL_BATCHABLE_CACHE:
         _DUAL_BATCHABLE_CACHE[key] = make_sequential_vmap(
-            lambda q, t, nq, nt: nearest_sq_dual_pallas(
-                q, t, nq, nt, coords_bf16_exact=coords_bf16_exact,
-                interpret=interpret,
+            lambda q, t, nq, nt, hq, ht: nearest_sq_dual_pallas(
+                q, t, nq, nt, hq, ht,
+                coords_bf16_exact=coords_bf16_exact, interpret=interpret,
             )
         )
     kq = query.shape[1]
     kt = target.shape[1]
     nq = jnp.int32(kq) if n_query is None else n_query
     nt = jnp.int32(kt) if n_target is None else n_target
-    return _DUAL_BATCHABLE_CACHE[key](query, target, nq, nt)
+    hq = jnp.int32(0) if head_query is None else head_query
+    ht = jnp.int32(0) if head_target is None else head_target
+    return _DUAL_BATCHABLE_CACHE[key](query, target, nq, nt, hq, ht)
 
 
 _BATCHABLE_CACHE: dict = {}

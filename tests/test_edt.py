@@ -137,9 +137,10 @@ def test_hd95_device_matches_host(rng):
 
 
 def test_label_buffers_partition_matches_numpy(rng):
-    """label_buffers must hold, per label, the raster-order first-cap inner
-    surface voxels (with the other volume's label in row 3) and the
-    deduplicated outer-shell voxels — including cap truncation."""
+    """label_buffers must hold, per label, the inner surface voxels ordered
+    [inside-other-mask | outside] (raster within each segment) and the
+    deduplicated outer-shell voxels — including cap truncation (inside
+    segment first)."""
     import jax.numpy as jnp
 
     from convexadam_tpu.core.edt import label_buffers, surface_lists
@@ -172,21 +173,25 @@ def test_label_buffers_partition_matches_numpy(rng):
         nbl = nb.reshape(6, -1)[:, idx]
         return coords, own, nbl, idx
 
-    for seg, other, inner_b, outer_b in (
-        (s1, s2, np.asarray(bufs.inner_f), np.asarray(bufs.outer_f)),
-        (s2, s1, np.asarray(bufs.inner_m), np.asarray(bufs.outer_m)),
+    for seg, other, inner_b, outer_b, n_inside_b in (
+        (s1, s2, np.asarray(bufs.inner_f), np.asarray(bufs.outer_f),
+         np.asarray(bufs.n_inside_f)),
+        (s2, s1, np.asarray(bufs.inner_m), np.asarray(bufs.outer_m),
+         np.asarray(bufs.n_inside_m)),
     ):
         coords, own, nbl, idx = surf(seg)
+        inside = other.reshape(-1)[idx] == own
         for lab in range(1, L + 1):
             cap = caps[lab]
             sel = own == lab
-            exp_in = coords[:, sel][:, :cap]
+            exp_in = np.concatenate(
+                [coords[:, sel & inside], coords[:, sel & ~inside]], axis=1
+            )[:, :cap]
+            assert n_inside_b[lab] == (sel & inside).sum()
             got = inner_b[:, offs[lab]:offs[lab] + cap]
             n = exp_in.shape[1]
-            np.testing.assert_array_equal(got[:3, :n], exp_in)
-            assert (got[:3, n:] == 8192.0).all()
-            exp_oth = other.reshape(-1)[idx[sel]][:cap]
-            np.testing.assert_array_equal(got[3, :n], exp_oth)
+            np.testing.assert_array_equal(got[:, :n], exp_in)
+            assert (got[:, n:] == 8192.0).all()
             osel = (own != lab) & (nbl == lab).any(0)
             exp_out = coords[:, osel][:, :cap]
             m = exp_out.shape[1]

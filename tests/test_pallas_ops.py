@@ -440,3 +440,27 @@ def test_nearest_sq_pallas_block_skip_exact_on_live_entries(rng):
     )
     np.testing.assert_array_equal(np.asarray(out_q)[:nq], ref_q[:nq])
     np.testing.assert_array_equal(np.asarray(out_t)[:nt], ref_t[:nt])
+
+
+def test_nearest_sq_dual_head_skip_exact_on_meaningful_ranges(rng):
+    """With head_query/head_target the (head x head) corner is skipped;
+    per-query outputs past head_query and per-target outputs past
+    head_target must still match the XLA scans exactly."""
+    from convexadam_tpu.core.edt import _COORD_PAD, _nearest_sq
+    from convexadam_tpu.ops.edt_pallas import nearest_sq_dual_pallas
+
+    kq, kt, nq, nt, hq, ht = 512, 512, 400, 450, 250, 300
+    q = np.full((3, kq), _COORD_PAD, np.float32)
+    t = np.full((3, kt), _COORD_PAD, np.float32)
+    q[:, :nq] = rng.integers(0, 200, (3, nq))
+    t[:, :nt] = rng.integers(0, 200, (3, nt))
+    q, t = jnp.asarray(q), jnp.asarray(t)
+
+    ref_q = np.asarray(_nearest_sq(q, t, chunk=128))
+    ref_t = np.asarray(_nearest_sq(t, q, chunk=128))
+    out_q, out_t = nearest_sq_dual_pallas(
+        q, t, jnp.int32(nq), jnp.int32(nt), jnp.int32(hq), jnp.int32(ht),
+        interpret=True, bq=128, bt=128,
+    )
+    np.testing.assert_array_equal(np.asarray(out_q)[hq:nq], ref_q[hq:nq])
+    np.testing.assert_array_equal(np.asarray(out_t)[ht:nt], ref_t[ht:nt])

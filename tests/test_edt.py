@@ -198,3 +198,55 @@ def test_label_buffers_partition_matches_numpy(rng):
             got_o = outer_b[:, offs[lab]:offs[lab] + cap]
             np.testing.assert_array_equal(got_o[:, :m], exp_out)
             assert (got_o[:, m:] == 8192.0).all()
+
+
+def test_hd95_device_through_pallas_kernels_matches_host(rng, monkeypatch):
+    """Route hd95_device's searches through the interpret-mode Pallas
+    kernels (incl. the chunked vmap-of-kernel path) — values must still
+    equal the host EDT loop.  On real TPU this is the default dispatch;
+    this test pins it without the chip."""
+    import jax.numpy as jnp
+    from scipy.ndimage import uniform_filter
+
+    import convexadam_tpu.core.edt as edt
+    from convexadam_tpu.core.metrics import hd95
+    from convexadam_tpu.ops.edt_pallas import (
+        nearest_sq_dual_pallas_batchable,
+        nearest_sq_pallas_batchable,
+    )
+
+    monkeypatch.setattr(
+        edt, "_nearest_sq",
+        lambda q, t, chunk=None, coords_bf16_exact=False, n_query=None,
+        n_target=None: nearest_sq_pallas_batchable(
+            q, t, n_query, n_target, interpret=True
+        ),
+    )
+    monkeypatch.setattr(
+        edt, "_nearest_sq_dual",
+        lambda q, t, coords_bf16_exact=False, n_query=None, n_target=None,
+        head_query=None, head_target=None: nearest_sq_dual_pallas_batchable(
+            q, t, n_query, n_target, head_query, head_target, interpret=True
+        ),
+    )
+
+    def labels(seed):
+        v = uniform_filter(
+            rng.standard_normal((18, 20, 22)).astype(np.float32), 5
+        )
+        return np.digitize(v, np.quantile(v, [0.3, 0.6, 0.85])).astype(
+            np.int32
+        )
+
+    s1, s2 = labels(0), labels(1)
+    host = hd95(s1, s2, 3)
+    # max_surface multiple of 128 (the kernels' block picker needs clean
+    # shapes; the engine's buckets are multiples of 4096) and large enough
+    # to hold every label surface
+    dev = np.asarray(
+        edt.hd95_device(
+            jnp.asarray(s1), jnp.asarray(s2), 3, label_chunk=3,
+            max_surface=4096,
+        )
+    )
+    np.testing.assert_allclose(dev, host, atol=1e-5)

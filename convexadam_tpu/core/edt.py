@@ -293,11 +293,11 @@ class SurfaceLists(NamedTuple):
     own_f: jax.Array      # (Kg,) int16 label at each fixed surface voxel (-1 pad)
     nbv_f: jax.Array      # (6, Kg) int16 face-neighbour labels (sentinel pad)
     gc_f: jax.Array       # (3, Kg) f32 coords (_COORD_PAD pad)
-    other_at_f: jax.Array  # (Kg,) int16 moving volume's label at the voxel
+    inside_f: jax.Array   # (Kg,) bool: the other volume has the SAME label
     own_m: jax.Array
     nbv_m: jax.Array
     gc_m: jax.Array
-    other_at_m: jax.Array
+    inside_m: jax.Array
     counts_f: jax.Array   # (num_labels+1,) per-label voxel counts
     counts_m: jax.Array
 
@@ -326,8 +326,12 @@ def surface_lists(
     # voxel — 8x fewer gathered indices.  Field value (2^bits - 1) is an
     # out-of-range sentinel no real label equals.
     bits = (num_labels + 1).bit_length()
-    packed = 7 * bits <= 31
+    packed = 7 * bits <= 30  # one spare bit for the agreement flag
     fsent = jnp.int32((1 << bits) - 1)
+    # a surface voxel of label l is INSIDE the other volume's l-mask iff the
+    # volumes agree there — computed full-volume (bandwidth-cheap) and
+    # packed/gathered with the word instead of a second per-surface gather
+    eq = (sf == sm).reshape(-1)
 
     def neighbor_stack(seg):
         """(6, H, W, D) face-neighbour values (edge-replicated, so borders
@@ -356,6 +360,9 @@ def surface_lists(
             word = seg.astype(jnp.int32)
             for k in range(6):
                 word = word | (nb[k].astype(jnp.int32) << (bits * (k + 1)))
+            word = word | (
+                eq.reshape(seg.shape).astype(jnp.int32) << (7 * bits)
+            )
             w = jnp.where(gvalid, word.reshape(-1)[safe], jnp.int32(-1))
             fmask = jnp.int32((1 << bits) - 1)
             own = jnp.where(gvalid, w & fmask, jnp.int32(-1)).astype(jnp.int16)
@@ -365,36 +372,32 @@ def surface_lists(
                 ).astype(jnp.int16)
                 for k in range(6)
             ])
+            inside = gvalid & (((w >> (7 * bits)) & 1) == 1)
         else:
             own = jnp.where(gvalid, seg.reshape(-1)[safe], jnp.int16(-1))
             nbv = jnp.where(
                 gvalid[None], nb.reshape(6, -1)[:, safe], jnp.int16(-1)
             )
+            inside = gvalid & eq[safe]
         z = safe // (W * D)
         y = (safe // D) % W
         x = safe % D
         coords = jnp.where(
             gvalid[None], jnp.stack([z, y, x]).astype(jnp.float32), _COORD_PAD
         )
-        return own, nbv, coords, gidx
+        return own, nbv, coords, inside
 
-    own_f, nbv_f, gc_f, gidx_f = volume_side(sf)
-    own_m, nbv_m, gc_m, gidx_m = volume_side(sm)
+    own_f, nbv_f, gc_f, inside_f = volume_side(sf)
+    own_m, nbv_m, gc_m, inside_m = volume_side(sm)
 
     # compare-and-reduce, not bincount's per-index-bound scatter-add
     from convexadam_tpu.core.features import label_counts  # noqa: PLC0415
 
     counts_f = label_counts(sf, num_labels + 1)
     counts_m = label_counts(sm, num_labels + 1)
-    sf_flat = sf.reshape(-1)
-    sm_flat = sm.reshape(-1)
-    # the OTHER volume's label at each global surface voxel — decides which
-    # target shell a query needs (label-independent: gathered once)
-    other_at_m = sf_flat[jnp.maximum(gidx_m, 0)]
-    other_at_f = sm_flat[jnp.maximum(gidx_f, 0)]
     return SurfaceLists(
-        own_f, nbv_f, gc_f, other_at_f,
-        own_m, nbv_m, gc_m, other_at_m,
+        own_f, nbv_f, gc_f, inside_f,
+        own_m, nbv_m, gc_m, inside_m,
         counts_f, counts_m,
     )
 
@@ -452,11 +455,10 @@ def label_buffers(
     offs = jnp.asarray(offs_host, jnp.int32)
     labs_iota = jnp.arange(num_labels + 1, dtype=jnp.int16)
 
-    def build_side(own, nbv, gc, other_at):
-        # ---- inner: partition by own label, [inside | outside] segments.
-        # "inside the other volume's mask" is label-independent for a
-        # surface voxel of label l: other_at == own.
-        inside = other_at == own
+    def build_side(own, nbv, gc, inside):
+        # ---- inner: partition by own label, [inside | outside] segments
+        # ("inside the other volume's mask" = the volumes agree at the
+        # voxel — label-independent, precomputed in surface_lists)
         onehot = own[None, :] == labs_iota[:, None]           # (L+1, Kg)
         oh_in = onehot & inside[None, :]
         ranks_in = jnp.cumsum(oh_in.astype(jnp.int32), axis=1) - 1
@@ -507,10 +509,10 @@ def label_buffers(
         return inner, outer, n_inner, n_inside, n_outer
 
     inner_f, outer_f, n_inner_f, n_inside_f, n_outer_f = build_side(
-        pre.own_f, pre.nbv_f, pre.gc_f, pre.other_at_f
+        pre.own_f, pre.nbv_f, pre.gc_f, pre.inside_f
     )
     inner_m, outer_m, n_inner_m, n_inside_m, n_outer_m = build_side(
-        pre.own_m, pre.nbv_m, pre.gc_m, pre.other_at_m
+        pre.own_m, pre.nbv_m, pre.gc_m, pre.inside_m
     )
     return LabelBuffers(
         inner_f, outer_f, inner_m, outer_m,

@@ -18,7 +18,6 @@ is the headline metric (the driver parses the final line).
 """
 
 import json
-import subprocess
 import sys
 import time
 
@@ -29,16 +28,10 @@ def _device_probe_or_die(timeout_s: float = 180.0) -> None:
     """Fail fast instead of hanging when the TPU plugin's tunnel is wedged:
     backend init blocks forever inside PJRT client creation (and holds
     jax's global backend lock), so probe in a subprocess with a deadline
-    before this process touches the backend."""
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
-            capture_output=True, timeout=timeout_s, text=True,
-        )
-        ok = r.returncode == 0 and int(r.stdout.strip().splitlines()[-1]) > 0
-    except Exception:
-        ok = False
-    if not ok:
+    (utils/devices.py) before this process touches the backend."""
+    from convexadam_tpu.utils.devices import probe_device_count
+
+    if probe_device_count(timeout_s) <= 0:
         print(
             "bench: device backend failed to initialize within "
             f"{timeout_s:.0f}s (TPU tunnel down?) — aborting instead of "

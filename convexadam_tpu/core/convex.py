@@ -217,14 +217,6 @@ def convex_displacement_tp(
 
     Returns ``disp_soft`` (3, H', W', D') in coarse voxels, replicated.
     """
-    from jax.sharding import PartitionSpec
-    try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
-        from jax.shard_map import shard_map  # type: ignore
-
-    from convexadam_tpu.core.cost_volume import displacement_mesh
-
     q = disp_hw
     K = 2 * q + 1
     K3 = K**3
@@ -238,11 +230,37 @@ def convex_displacement_tp(
     ks = np.concatenate(
         [np.arange(K3), np.full(K3_pad - K3, K3 - 1)]
     ).astype(np.int32)
+    fn = _tp_convex_fn(
+        mesh, axis_name, disp_hw, metric, smooth_passes, compute_dtype
+    )
+    return fn(jnp.asarray(ks), feat_fix, feat_mov)
+
+
+@functools.lru_cache(maxsize=16)
+def _tp_convex_fn(
+    mesh, axis_name, disp_hw, metric, smooth_passes, compute_dtype
+):
+    """Build + memoise the jitted shard_map program for
+    :func:`convex_displacement_tp` (``Mesh`` is hashable, so equal meshes
+    share the entry): a fresh closure per call would re-trace — and
+    round-trip the slow remote compiler's cache — on EVERY direction of
+    every pair."""
+    from jax.sharding import PartitionSpec
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax.shard_map import shard_map  # type: ignore
+
+    from convexadam_tpu.core.cost_volume import displacement_mesh
+
+    q = disp_hw
+    K = 2 * q + 1
+    K3 = K**3
     mesh_d = displacement_mesh(q)  # (3, K^3), replicated
-    C, H, W, D = feat_fix.shape
     big_idx = jnp.int32(K3)
 
     def local_fn(ks_local, ff, fm):
+        C, H, W, D = ff.shape
         fix = ff.astype(compute_dtype)
         movp = jnp.pad(
             fm.astype(compute_dtype),
@@ -300,7 +318,7 @@ def convex_displacement_tp(
         fn = shard_map(local_fn, check_vma=False, **kwargs)
     except TypeError:
         fn = shard_map(local_fn, check_rep=False, **kwargs)
-    return jax.jit(fn)(jnp.asarray(ks), feat_fix, feat_mov)
+    return jax.jit(fn)
 
 
 # dense cost volumes whose estimated footprint (ssd + one smoothing

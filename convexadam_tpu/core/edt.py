@@ -617,6 +617,136 @@ def hd95_from_buffers(
     return out.reshape(-1)[:n_out].astype(jnp.float32)
 
 
+def suggest_hd95_caps(
+    seg_fixed,
+    seg_moving,
+    num_labels: int,
+) -> "tuple[tuple[tuple[tuple[int, ...], int], ...], int]":
+    """EXACT buffer sizing for the surface point-set HD95, from host numpy
+    segmentations.
+
+    Returns ``(groups, global_cap)`` where ``groups`` is a tuple of
+    ``(labels, K)`` buckets (K a multiple of 4096 covering every bucketed
+    label's inner surface AND outer shell in BOTH volumes — a 1-voxel-thick
+    structure's outer shell exceeds its inner surface, so inner counts
+    alone under-size) and ``global_cap`` covers each volume's all-labels
+    surface list.  With these caps :func:`hd95_device` /
+    :func:`hd95_from_buffers` are exact: nothing truncates.
+
+    Unlike the sweep engine's GT-only heuristic (which adds slack because
+    warped surfaces are unknown when it sizes), this measures the two
+    volumes actually being compared — use it for per-case evaluation
+    (selfconfig/l2r.py:evaluate_field) where both segs are on the host
+    anyway."""
+    import numpy as np  # noqa: PLC0415 (host-side sizing)
+
+    def stats(seg):
+        seg = np.asarray(seg)
+        nb = []
+        for ax in range(3):
+            for sh in (1, -1):
+                r = np.roll(seg, sh, ax)
+                sl = tuple(
+                    slice(0, 1) if (i == ax and sh == 1)
+                    else (slice(-1, None) if (i == ax and sh == -1)
+                          else slice(None))
+                    for i in range(3)
+                )
+                r[sl] = seg[sl]
+                nb.append(r)
+        nb = np.stack(nb)
+        diff = (nb != seg[None]).any(0)
+        idx = np.flatnonzero(diff.ravel())
+        own = seg.ravel()[idx].astype(np.int64)
+        nbl = nb.reshape(6, -1)[:, idx].astype(np.int64)
+        inner = np.bincount(
+            own[(own >= 1) & (own <= num_labels)], minlength=num_labels + 1
+        )
+        # outer shell: dedup neighbour labels within a voxel (matching
+        # label_buffers' <=6-slot expansion), exclude own label
+        keep = np.ones(nbl.shape, bool)
+        for k in range(1, 6):
+            for kp in range(k):
+                keep[k] &= nbl[k] != nbl[kp]
+        keep &= (nbl != own[None]) & (nbl >= 1) & (nbl <= num_labels)
+        outer = np.bincount(nbl[keep], minlength=num_labels + 1)
+        return np.maximum(inner, outer), int(idx.size)
+
+    need_f, tot_f = stats(seg_fixed)
+    need_m, tot_m = stats(seg_moving)
+    need = np.maximum(need_f, need_m)
+    n_vox = int(np.asarray(seg_fixed).size)
+    buckets: dict = {}
+    for lab in range(1, num_labels + 1):
+        k = 4096 * int(np.ceil(max(int(need[lab]), 1) / 4096))
+        k = min(k, 4096 * ((n_vox + 4095) // 4096))
+        buckets.setdefault(k, []).append(lab)
+    groups = tuple(
+        (tuple(labs), k) for k, labs in sorted(buckets.items())
+    )
+    global_cap = 4096 * int(np.ceil(max(tot_f, tot_m, 1) / 4096))
+    return groups, min(global_cap, n_vox)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_labels", "groups", "global_surface", "missing_value",
+        "label_chunk", "bf16ok",
+    ),
+)
+def _hd95_bucketed(
+    seg_fixed: jax.Array,
+    seg_moving: jax.Array,
+    num_labels: int,
+    groups,
+    global_surface: int,
+    missing_value: float,
+    label_chunk: int,
+    bf16ok: bool,
+) -> jax.Array:
+    pre = surface_lists(seg_fixed, seg_moving, num_labels, global_surface)
+    caps_l = [0] * (num_labels + 1)
+    for labs, k in groups:
+        for lab in labs:
+            caps_l[lab] = k
+    caps = tuple(caps_l)
+    bufs = label_buffers(pre, num_labels, caps)
+    parts = [
+        hd95_from_buffers(
+            bufs, caps, k, missing_value, label_chunk, labs,
+            coords_bf16_exact=bf16ok,
+        )
+        for labs, k in groups
+    ]
+    order = [lab for labs, _ in groups for lab in labs]
+    inv = [0] * len(order)
+    for i, lab in enumerate(order):
+        inv[lab - 1] = i
+    return jnp.concatenate(parts)[jnp.asarray(inv, jnp.int32)]
+
+
+def hd95_device_sized(
+    seg_fixed,
+    seg_moving,
+    num_labels: int,
+    missing_value: float = 30.0,
+    label_chunk: int = 4,
+) -> jax.Array:
+    """:func:`hd95_device` with caps measured EXACTLY from the two host
+    volumes (:func:`suggest_hd95_caps`) and per-size label buckets — no
+    silent truncation at any scale, small organs pay small K x K searches.
+    Use for per-case evaluation where both segmentations are host arrays;
+    the sweep engine keeps its own GT-sized batched path."""
+    groups, global_cap = suggest_hd95_caps(seg_fixed, seg_moving, num_labels)
+    shape = tuple(jnp.shape(seg_fixed))
+    return _hd95_bucketed(
+        jnp.asarray(seg_fixed), jnp.asarray(seg_moving), num_labels,
+        groups, global_cap, missing_value, label_chunk,
+        bf16ok=max(shape) <= 256,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -207,12 +207,20 @@ def semantic_template_weights(
     script derives them once and reuses for every case
     (l2r_2021_convexAdam_task3_docker.py:118-120):
     ``w = 1/(bincount(a)+bincount(b))^0.3; w /= w.mean()`` — note the mean is
-    over ALL labels (no joint-presence restriction) in that script."""
+    over ALL labels (no joint-presence restriction) in that script.
+
+    A label absent from BOTH template volumes (reachable here because
+    ``num_labels`` is a static channel count) gets weight 0 and is excluded
+    from the mean — the script's literal ``1/0^0.3 = inf`` would NaN every
+    weight; when all labels are present (the script's only reachable
+    regime) the results are identical."""
     counts = (
         label_counts(seg_a, num_labels) + label_counts(seg_b, num_labels)
     ).astype(jnp.float32)
-    w = 1.0 / jnp.power(counts, 0.3)
-    return w / jnp.mean(w)
+    present = counts > 0
+    w = jnp.where(present, 1.0 / jnp.power(counts + 1e-32, 0.3), 0.0)
+    w_mean = jnp.sum(w) / jnp.maximum(jnp.sum(present), 1)
+    return w / w_mean
 
 
 # ---------------------------------------------------------------------------

@@ -216,9 +216,13 @@ def _read_mha(raw: bytes, path: Path) -> MedicalImage:
         # MetaIO stores the axis direction cosines as consecutive triplets
         # (row i = direction of index axis i); the sitk/ITK direction matrix
         # has the axis cosines as COLUMNS — transpose on the way in
-        direction = list(
-            np.array([float(s) for s in tm.split()]).reshape(3, 3).T.ravel()
-        )
+        # NDims may be 2 (or >3): embed the NxN matrix into the 3x3
+        # direction instead of crashing on a hardcoded (3, 3) reshape
+        vals = np.array([float(s) for s in tm.split()]).reshape(ndims, ndims)
+        n = min(ndims, 3)
+        dm = np.eye(3)
+        dm[:n, :n] = vals[:n, :n].T
+        direction = list(dm.ravel())
     else:
         direction = list(np.eye(ndims).ravel())
     msb = fields.get("BinaryDataByteOrderMSB", "False").lower() == "true" or (

@@ -113,6 +113,12 @@ def train_unet3d(
 
     images = np.asarray(images, np.float32)
     labels = np.asarray(labels, np.int32)
+    if any(p > s for p, s in zip(patch_size, images.shape[1:])):
+        # a short axis would yield ragged patches (np.stack crash mid-run)
+        raise ValueError(
+            f"patch_size {tuple(patch_size)} exceeds volume shape "
+            f"{images.shape[1:]} — pad the volumes or shrink the patch"
+        )
     model = UNet3D(num_classes=num_classes, channels=tuple(channels))
     rng = np.random.default_rng(seed)
     if params is None:

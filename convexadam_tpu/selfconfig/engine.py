@@ -221,13 +221,19 @@ def _make_hd95_batch_fn(
     the SPMD program instead of serializing the mesh behind one host.
     """
     # memoised: a fresh closure per sweep call would re-trace (and
-    # re-load from the compile cache) the whole HD95 program every sweep
+    # re-load from the compile cache) the whole HD95 program every sweep.
+    # Keyed on the Mesh itself (hashable; equal meshes share the entry —
+    # id() would miss rebuilt-but-identical meshes AND pin dead ones) and
+    # bounded so a long-lived process sweeping many mesh/label-group
+    # combinations doesn't accumulate compiled programs forever.
     key = (
-        id(mesh), num_labels, label_chunk, max_surface, global_surface,
+        mesh, num_labels, label_chunk, max_surface, global_surface,
         tuple(label_groups) if label_groups is not None else None,
     )
     if key in _HD95_FN_CACHE:
         return _HD95_FN_CACHE[key]
+    while len(_HD95_FN_CACHE) >= 16:  # FIFO eviction (dict is ordered)
+        _HD95_FN_CACHE.pop(next(iter(_HD95_FN_CACHE)))
 
     from convexadam_tpu.core.edt import (
         hd95_from_buffers,

@@ -153,13 +153,14 @@ def evaluate_field(
         if compute_hd95:
             if jax.default_backend() == "tpu":
                 # surface-point-set HD95 on device (core/edt.py) — the host
-                # scipy EDT loop costs seconds per case at L2R scale
-                from convexadam_tpu.core.edt import hd95_device
+                # scipy EDT loop costs seconds per case at L2R scale.  Caps
+                # are measured exactly from the two volumes: hd95_device's
+                # DEFAULTS (64k/256k) silently truncate at exactly the L2R
+                # scale this branch exists for (35-label OASIS surfaces)
+                from convexadam_tpu.core.edt import hd95_device_sized
 
                 out["hd95"] = np.asarray(
-                    hd95_device(
-                        jnp.asarray(seg_fixed), jnp.asarray(warped), num_labels
-                    )
+                    hd95_device_sized(seg_fixed, warped, num_labels)
                 )
             else:
                 out["hd95"] = hd95(seg_fixed, warped, num_labels)

@@ -136,6 +136,53 @@ def test_hd95_device_matches_host(rng):
     np.testing.assert_allclose(dev, host, atol=1e-5)
 
 
+def test_hd95_device_sized_exact_caps(rng):
+    """hd95_device_sized must size its buffers from BOTH volumes so nothing
+    truncates — including a 1-voxel-thick label whose OUTER shell exceeds
+    its inner surface (inner-count-only sizing under-sizes there)."""
+    import jax.numpy as jnp
+
+    from convexadam_tpu.core.edt import (
+        hd95_device_sized,
+        label_buffers,
+        suggest_hd95_caps,
+        surface_lists,
+    )
+    from convexadam_tpu.core.metrics import hd95
+
+    s1 = rng.integers(0, 3, (16, 18, 20)).astype(np.int32)
+    s2 = rng.integers(0, 3, (16, 18, 20)).astype(np.int32)
+    # label 3: a 1-voxel-thick sheet (outer shell ~2x inner surface)
+    s1[8, 2:16, 2:18] = 3
+    s2[9, 2:16, 2:18] = 3
+
+    host = hd95(s1, s2, 3)
+    dev = np.asarray(hd95_device_sized(s1, s2, 3))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+    # the suggested caps must cover every actual buffer occupancy exactly
+    groups, global_cap = suggest_hd95_caps(s1, s2, 3)
+    caps = [0] * 4
+    for labs, k in groups:
+        for lab in labs:
+            caps[lab] = k
+    pre = surface_lists(jnp.asarray(s1), jnp.asarray(s2), 3, global_cap)
+    bufs = label_buffers(pre, 3, tuple(caps))
+    for lab in range(1, 4):
+        for n in (
+            bufs.n_inner_f[lab], bufs.n_inner_m[lab],
+            bufs.n_outer_f[lab], bufs.n_outer_m[lab],
+        ):
+            assert int(n) <= caps[lab]
+    # a label missing from one volume still scores missing_value
+    s2z = s2.copy()
+    s2z[s2z == 2] = 1
+    host = hd95(s1, s2z, 3)
+    dev = np.asarray(hd95_device_sized(s1, s2z, 3))
+    assert dev[1] == 30.0
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
 def test_label_buffers_partition_matches_numpy(rng):
     """label_buffers must hold, per label, the inner surface voxels ordered
     [inside-other-mask | outside] (raster within each segment) and the

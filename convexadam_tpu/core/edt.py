@@ -617,6 +617,47 @@ def hd95_from_buffers(
     return out.reshape(-1)[:n_out].astype(jnp.float32)
 
 
+def surface_stats(seg, num_labels: int):
+    """Host-side per-label surface sizing of one volume: returns
+    ``(need, total)`` where ``need[lab] = max(inner surface, outer shell)``
+    voxel counts (the two buffers :func:`label_buffers` fills per label —
+    a 1-voxel-thick structure's outer shell EXCEEDS its inner surface, so
+    inner counts alone under-size) and ``total`` is the all-labels
+    boundary-voxel count bounding the global surface list."""
+    import numpy as np  # noqa: PLC0415 (host-side sizing)
+
+    seg = np.asarray(seg)
+    nb = []
+    for ax in range(3):
+        for sh in (1, -1):
+            r = np.roll(seg, sh, ax)
+            sl = tuple(
+                slice(0, 1) if (i == ax and sh == 1)
+                else (slice(-1, None) if (i == ax and sh == -1)
+                      else slice(None))
+                for i in range(3)
+            )
+            r[sl] = seg[sl]
+            nb.append(r)
+    nb = np.stack(nb)
+    diff = (nb != seg[None]).any(0)
+    idx = np.flatnonzero(diff.ravel())
+    own = seg.ravel()[idx].astype(np.int64)
+    nbl = nb.reshape(6, -1)[:, idx].astype(np.int64)
+    inner = np.bincount(
+        own[(own >= 1) & (own <= num_labels)], minlength=num_labels + 1
+    )
+    # outer shell: dedup neighbour labels within a voxel (matching
+    # label_buffers' <=6-slot expansion), exclude own label
+    keep = np.ones(nbl.shape, bool)
+    for k in range(1, 6):
+        for kp in range(k):
+            keep[k] &= nbl[k] != nbl[kp]
+    keep &= (nbl != own[None]) & (nbl >= 1) & (nbl <= num_labels)
+    outer = np.bincount(nbl[keep], minlength=num_labels + 1)
+    return np.maximum(inner, outer), int(idx.size)
+
+
 def suggest_hd95_caps(
     seg_fixed,
     seg_moving,
@@ -638,42 +679,9 @@ def suggest_hd95_caps(
     volumes actually being compared — use it for per-case evaluation
     (selfconfig/l2r.py:evaluate_field) where both segs are on the host
     anyway."""
+    need_f, tot_f = surface_stats(seg_fixed, num_labels)
+    need_m, tot_m = surface_stats(seg_moving, num_labels)
     import numpy as np  # noqa: PLC0415 (host-side sizing)
-
-    def stats(seg):
-        seg = np.asarray(seg)
-        nb = []
-        for ax in range(3):
-            for sh in (1, -1):
-                r = np.roll(seg, sh, ax)
-                sl = tuple(
-                    slice(0, 1) if (i == ax and sh == 1)
-                    else (slice(-1, None) if (i == ax and sh == -1)
-                          else slice(None))
-                    for i in range(3)
-                )
-                r[sl] = seg[sl]
-                nb.append(r)
-        nb = np.stack(nb)
-        diff = (nb != seg[None]).any(0)
-        idx = np.flatnonzero(diff.ravel())
-        own = seg.ravel()[idx].astype(np.int64)
-        nbl = nb.reshape(6, -1)[:, idx].astype(np.int64)
-        inner = np.bincount(
-            own[(own >= 1) & (own <= num_labels)], minlength=num_labels + 1
-        )
-        # outer shell: dedup neighbour labels within a voxel (matching
-        # label_buffers' <=6-slot expansion), exclude own label
-        keep = np.ones(nbl.shape, bool)
-        for k in range(1, 6):
-            for kp in range(k):
-                keep[k] &= nbl[k] != nbl[kp]
-        keep &= (nbl != own[None]) & (nbl >= 1) & (nbl <= num_labels)
-        outer = np.bincount(nbl[keep], minlength=num_labels + 1)
-        return np.maximum(inner, outer), int(idx.size)
-
-    need_f, tot_f = stats(seg_fixed)
-    need_m, tot_m = stats(seg_moving)
     need = np.maximum(need_f, need_m)
     n_vox = int(np.asarray(seg_fixed).size)
     buckets: dict = {}

@@ -42,10 +42,17 @@ class SweepCheckpointer:
     def _dir(self) -> Path:
         return self.base.with_suffix(self.base.suffix + ".ckpt")
 
+    @property
+    def _npz(self) -> Path:
+        # distinct from the sweep CLI's final results npz, which is saved
+        # to the base path itself — sharing it would clobber the fallback
+        # checkpoint with a schema lacking "completed" and kill resume
+        return self.base.with_suffix(self.base.suffix + ".ckpt.npz")
+
     def save(self, state: dict) -> None:
         state = {k: np.asarray(v) for k, v in state.items()}
         if self._ocp is None:
-            np.savez(self.base, **state)
+            np.savez(self._npz, **state)
             return
         ckpt = self._ocp.PyTreeCheckpointer()
         ckpt.save(self._dir.resolve(), state, force=True)
@@ -55,16 +62,13 @@ class SweepCheckpointer:
             ckpt = self._ocp.PyTreeCheckpointer()
             out = ckpt.restore(self._dir.resolve())
             return {k: np.asarray(v) for k, v in out.items()}
-        npz = (
-            self.base
-            if self.base.exists()
-            else self.base.with_suffix(self.base.suffix + ".npz")
-        )
-        if Path(str(npz)).exists():
-            with np.load(npz) as f:
+        if self._npz.exists():
+            with np.load(self._npz) as f:
                 return {k: f[k] for k in f.files}
         return None
 
     def clear(self) -> None:
         if self._dir.exists():
             shutil.rmtree(self._dir)
+        if self._npz.exists():
+            self._npz.unlink()

@@ -158,32 +158,23 @@ def _suggest_label_groups(
 ) -> tuple[list, int]:
     """Bucket labels by surface size for hd95_device: returns
     ([(labels_tuple, K)], global_cap).  Each label's point-set buffer K is
-    1.5x its largest ground-truth surface count (warped predictions have
-    comparable surface area) rounded up to a multiple of 4096, so small
-    organs pay small K x K nearest-neighbour searches instead of the
-    largest label's (the search is quadratic in the buffer; with the
-    kernels' all-pad block skipping the buckets mainly bound buffer
-    memory, sort length and compile variety)."""
+    1.5x its largest ground-truth surface NEED — max(inner surface, outer
+    shell) per core/edt.py:surface_stats, since label_buffers fills both
+    buffers to the same cap and a thin structure's outer shell exceeds its
+    inner surface — rounded up to a multiple of 4096 (warped predictions
+    have comparable surface area to GT).  Small organs thus pay small
+    K x K nearest-neighbour searches instead of the largest label's (the
+    search is quadratic in the buffer; with the kernels' all-pad block
+    skipping the buckets mainly bound buffer memory, sort length and
+    compile variety)."""
+    from convexadam_tpu.core.edt import surface_stats
+
     per_label = np.ones(num_labels)
     total_worst = 1
     for seg in segs_np:
-        diff = np.zeros(seg.shape, bool)
-        for ax in range(3):
-            for sh in (1, -1):
-                r = np.roll(seg, sh, ax)
-                sl = tuple(
-                    slice(0, 1) if (i == ax and sh == 1)
-                    else (slice(-1, None) if (i == ax and sh == -1)
-                          else slice(None))
-                    for i in range(3)
-                )
-                r[sl] = seg[sl]
-                diff |= r != seg
-        total_worst = max(total_worst, int(diff.sum()))
-        counts = np.bincount(
-            seg[diff].astype(np.int64), minlength=num_labels + 1
-        )[1: num_labels + 1]
-        per_label = np.maximum(per_label, counts)
+        need, total = surface_stats(seg, num_labels)
+        total_worst = max(total_worst, total)
+        per_label = np.maximum(per_label, need[1: num_labels + 1])
     n = int(np.prod(segs_np.shape[1:]))
     buckets: dict = {}
     for lab in range(1, num_labels + 1):
@@ -690,7 +681,7 @@ def run_stage2_sweep(
     convex_setting: Stage1Setting,
     adam_settings: Sequence[Stage2Setting],
     num_labels: int,
-    compute_hd95: bool = False,
+    compute_hd95: bool = True,
     verbose: bool = False,
     checkpoint_path=None,
     mesh: Optional[Mesh] = None,
@@ -706,6 +697,10 @@ def run_stage2_sweep(
     out across devices: settings sharing the (grid_sp_adam, avg_n) shape key
     batch over the ``setting`` axis (lambda_weight is traced) and pairs shard
     over the ``pair`` axis.
+
+    ``compute_hd95`` defaults True like stage 1: the reference's rank2
+    always includes HD95 (adam_run_withconfig_shiftSpline.py:276); pass
+    False only for speed, accepting a 3-metric rank.
     """
     pairs = list(pairs)
     P = len(pairs)

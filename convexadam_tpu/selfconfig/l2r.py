@@ -56,6 +56,11 @@ class L2RTask:
     # load time).  Explicit config record, no path-convention guessing.
     keypoint_space: str = "voxel"
     expected_shape: tuple[int, int, int] = (0, 0, 0)
+    # task-level label count (dataset.json "labels"); 0 → derive per case.
+    # A task-level count keeps per-case metric vectors the same length even
+    # when a case is missing the top label id (per-case max would return a
+    # shorter dice/hd95 vector and break the grid's np.asarray stacking).
+    num_labels: int = 0
     registration_val: list = dataclasses.field(default_factory=list)
     registration_test: list = dataclasses.field(default_factory=list)
     evaluation_methods: list = dataclasses.field(default_factory=list)
@@ -85,6 +90,15 @@ class L2RTask:
                 ec = json.load(f)
             methods = ec.get("evaluation_methods", [])
             expected_shape = tuple(ec.get("expected_shape", (0, 0, 0)))
+        # task-level label count: explicit "num_labels", or the max id in a
+        # dataset.json "labels" table ({"1": "spleen", ...})
+        num_labels = int(data.get("num_labels", 0))
+        if not num_labels and isinstance(data.get("labels"), dict):
+            ids = [
+                int(k) for k in data["labels"].keys()
+                if str(k).lstrip("-").isdigit()
+            ]
+            num_labels = max(ids) if ids else 0
         return cls(
             task_dir=task_dir,
             name=task_name,
@@ -97,6 +111,7 @@ class L2RTask:
             registration_val=data.get("registration_val", []),
             registration_test=data.get("registration_test", []),
             evaluation_methods=methods,
+            num_labels=num_labels,
         )
 
     # heuristics from l2r3.py:54-71,97-103
@@ -230,7 +245,10 @@ def _load_case(task: L2RTask, pair: dict):
     if lf.exists() and lm.exists():
         seg_f = np.asarray(load_volume_nib_order(lf)[0], np.int32)
         seg_m = np.asarray(load_volume_nib_order(lm)[0], np.int32)
-        num_labels = int(max(seg_f.max(), seg_m.max()))
+        # task-level count keeps metric vectors the same length across
+        # cases (a per-case max shrinks when the top label id is absent,
+        # making run_validation_grid's stacking ragged)
+        num_labels = task.num_labels or int(max(seg_f.max(), seg_m.max()))
 
     pred_f = pred_m = None
     pf_path = task.task_dir / pair["fixed"].replace("images", "predictedlabels")
@@ -343,8 +361,14 @@ def run_validation_grid(
                                     r["tre30"].append(m["tre30"])
                                 r["sdlogj"].append(m["sdlogj"])
                                 r["time"].append(case_time)
-                                # persist the field like the reference runners
-                                name = Path(pair["fixed"]).stem.replace(".nii", "")
+                                # persist the field like the reference
+                                # runners — named by BOTH stems (pairs can
+                                # share a fixed image; fixed-only names
+                                # overwrite each other), as run_testset does
+                                name = (
+                                    f"{Path(pair['fixed']).name.split('.')[0]}_"
+                                    f"{Path(pair['moving']).name.split('.')[0]}"
+                                )
                                 save_volume_nib_order(
                                     fields[a, b],
                                     case["affine"],

@@ -40,6 +40,43 @@ def _robust30_keypoints(kf: np.ndarray, km: np.ndarray) -> np.ndarray:
     return np.argsort(-tre0)[: max(k, 1)]
 
 
+def _padded_keypoints(kpts_fixed, kpts_moving, robust30):
+    """Pad per-pair keypoint lists to one (P, n_max, 3) batch with validity
+    and robust30 weight masks, so a single vmapped device program evaluates
+    every pair (case keypoint counts differ; masked means equal the ragged
+    per-pair means exactly — the weights are 0/1)."""
+    P = len(kpts_fixed)
+    n_max = max(len(np.asarray(k)) for k in kpts_fixed)
+    kf = np.zeros((P, n_max, 3), np.float32)
+    km = np.zeros((P, n_max, 3), np.float32)
+    mask = np.zeros((P, n_max), np.float32)
+    rmask = np.zeros((P, n_max), np.float32)
+    for i in range(P):
+        a = np.asarray(kpts_fixed[i], np.float32)
+        b = np.asarray(kpts_moving[i], np.float32)
+        n = len(a)
+        kf[i, :n], km[i, :n], mask[i, :n] = a, b, 1.0
+        rmask[i, robust30[i]] = 1.0
+    return (jnp.asarray(kf), jnp.asarray(km),
+            jnp.asarray(mask), jnp.asarray(rmask))
+
+
+def _field_metrics(disp, kf, km, mask, rmask, spacing):
+    """(tre_mean, tre_robust30, sdlogj, neg_jac_frac) of one field as FOUR
+    device scalars — the full Jacobian volume and per-keypoint TRE vector
+    never cross the host link (np.asarray of big arrays streams at
+    ~17 MB/s through the TPU tunnel; a (H,W,D) det volume per variant
+    dominated the sweep wall-clock)."""
+    t = keypoint_tre(disp, kf, km, spacing)
+    tm = jnp.sum(t * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    tr = jnp.sum(t * rmask) / jnp.maximum(jnp.sum(rmask), 1.0)
+    det = jacobian_determinant(disp)
+    logd = jnp.log(jnp.clip(det + 3.0, 1e-9, 1e9))
+    return jnp.stack(
+        [tm, tr, jnp.std(logd), jnp.mean((det < 0).astype(jnp.float32))]
+    )
+
+
 def run_stage1_paired_sweep(
     imgs_fixed: np.ndarray,
     imgs_moving: np.ndarray,
@@ -64,6 +101,13 @@ def run_stage1_paired_sweep(
 
     imgs_f = jnp.asarray(imgs_fixed, jnp.float32)
     imgs_m = jnp.asarray(imgs_moving, jnp.float32)
+    kf_p, km_p, mask_p, rmask_p = _padded_keypoints(
+        kpts_fixed, kpts_moving, robust30
+    )
+    sp_j = None if spacing is None else jnp.asarray(spacing, jnp.float32)
+    eval_fn = jax.jit(
+        jax.vmap(_field_metrics, in_axes=(0, 0, 0, 0, 0, None))
+    )
 
     compiled = {}
     for s, st in enumerate(settings):
@@ -79,21 +123,10 @@ def run_stage1_paired_sweep(
             )
         t0 = time.time()
         disps = compiled[key](imgs_f, imgs_m)  # (P, 3, H, W, D)
-        for i in range(P):
-            t = np.asarray(
-                keypoint_tre(
-                    disps[i],
-                    jnp.asarray(kpts_fixed[i], jnp.float32),
-                    jnp.asarray(kpts_moving[i], jnp.float32),
-                    None if spacing is None else jnp.asarray(spacing, jnp.float32),
-                )
-            )
-            det = np.asarray(jacobian_determinant(disps[i]))
-            logd = np.log(np.clip(det + 3.0, 1e-9, 1e9))
-            tre[s, 0] += t.mean() / P
-            tre[s, 1] += t[robust30[i]].mean() / P
-            jstd[s, 0] += logd.std() / P
-            jstd[s, 1] += float((det < 0).mean()) / P
+        # 4 scalars per pair cross the host link, not det volumes
+        mets = np.asarray(eval_fn(disps, kf_p, km_p, mask_p, rmask_p, sp_j))
+        tre[s] = mets[:, :2].mean(axis=0)
+        jstd[s] = mets[:, 2:].mean(axis=0)
         times[s] = time.time() - t0
         if verbose:
             print(f"s={s} {st} TRE={tre[s,0]:.3f}/{tre[s,1]:.3f} jstd={jstd[s,0]:.4f}")
@@ -143,9 +176,10 @@ def run_stage2_paired_sweep(
     jstd = np.zeros((S, 4, 4, 2))
     times = np.zeros(S)
 
-    @jax.jit
-    def features(f, m, r=convex_setting.mind_r, d=convex_setting.mind_d):
-        return mindssc(f, r, d), mindssc(m, r, d)
+    kf_p, km_p, mask_p, rmask_p = _padded_keypoints(
+        kpts_fixed, kpts_moving, robust30
+    )
+    sp_j = None if spacing is None else jnp.asarray(spacing, jnp.float32)
 
     compiled = {}
     for s, st in enumerate(adam_settings):
@@ -153,9 +187,14 @@ def run_stage2_paired_sweep(
         g2 = st.grid_sp_adam
         key = (g2, st.effective_avg_n)
         if key not in compiled:
-            def one_pair(f, m, d0, lw, _g=g2, _a=st.effective_avg_n):
-                ff, fm = mindssc(f, convex_setting.mind_r, convex_setting.mind_d), \
-                         mindssc(m, convex_setting.mind_r, convex_setting.mind_d)
+            # metrics are folded INTO the per-pair program: a full-res field
+            # per (pair, iter, smooth) variant would be a (P,4,4,3,H,W,D)
+            # HBM buffer (~1.5 GB x P at lung scale) plus a ~17 MB/s tunnel
+            # download per det volume — only (P,4,4,4) scalars leave
+            def one_pair(f, m, d0, lw, kf, km, msk, rmsk,
+                         _g=g2, _a=st.effective_avg_n):
+                ff = mindssc(f, convex_setting.mind_r, convex_setting.mind_d)
+                fm = mindssc(m, convex_setting.mind_r, convex_setting.mind_d)
                 pf = avg_pool3d(ff, _g, stride=_g)
                 pm = avg_pool3d(fm, _g, stride=_g)
                 dlr = resize_trilinear(
@@ -175,33 +214,22 @@ def run_stage2_paired_sweep(
                     for kk in range(4):
                         if kk > 0:
                             dhr = box_smooth_repeated(dhr, 3, 1)
-                        outs.append(dhr)
-                    return jnp.stack(outs)
-
-                return jax.vmap(variants)(snaps)  # (4 iters, 4 smooth, 3, H, W, D)
-
-            compiled[key] = jax.jit(jax.vmap(one_pair, in_axes=(0, 0, 0, None)))
-        fields = compiled[key](
-            imgs_f, imgs_m, disps_hr0, jnp.float32(st.lambda_weight)
-        )  # (P, 4, 4, 3, H, W, D)
-        for i in range(P):
-            for ii in range(4):
-                for kk in range(4):
-                    d = fields[i, ii, kk]
-                    t = np.asarray(
-                        keypoint_tre(
-                            d,
-                            jnp.asarray(kpts_fixed[i], jnp.float32),
-                            jnp.asarray(kpts_moving[i], jnp.float32),
-                            None if spacing is None else jnp.asarray(spacing, jnp.float32),
+                        outs.append(
+                            _field_metrics(dhr, kf, km, msk, rmsk, sp_j)
                         )
-                    )
-                    det = np.asarray(jacobian_determinant(d))
-                    logd = np.log(np.clip(det + 3.0, 1e-9, 1e9))
-                    tre[s, ii, kk, 0] += t.mean() / P
-                    tre[s, ii, kk, 1] += t[robust30[i]].mean() / P
-                    jstd[s, ii, kk, 0] += logd.std() / P
-                    jstd[s, ii, kk, 1] += float((det < 0).mean()) / P
+                    return jnp.stack(outs)  # (4 smooth, 4 metrics)
+
+                return jax.vmap(variants)(snaps)  # (4 iters, 4 smooth, 4)
+
+            compiled[key] = jax.jit(
+                jax.vmap(one_pair, in_axes=(0, 0, 0, None, 0, 0, 0, 0))
+            )
+        mets = np.asarray(compiled[key](
+            imgs_f, imgs_m, disps_hr0, jnp.float32(st.lambda_weight),
+            kf_p, km_p, mask_p, rmask_p,
+        ))  # (P, 4 iters, 4 smooth, 4 metrics)
+        tre[s] = mets[..., :2].mean(axis=0)
+        jstd[s] = mets[..., 2:].mean(axis=0)
         times[s] = time.time() - t0
         if verbose:
             print(f"s={s} {st} best TRE={tre[s,...,0].min():.3f}")

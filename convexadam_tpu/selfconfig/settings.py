@@ -61,7 +61,19 @@ def _torch_rand(seed: int, shape: tuple[int, int]) -> np.ndarray:
 
         torch.manual_seed(seed)
         return torch.rand(*shape).numpy()
-    except ImportError:  # equivalent distribution, different stream
+    except ImportError:  # equivalent distribution, DIFFERENT stream
+        import warnings  # noqa: PLC0415
+
+        # setting INDICES (convex_s/adam_s1, checkpoints) are only
+        # meaningful under identical seeded sampling — a silent stream
+        # swap would make a persisted index select different
+        # hyperparameters on a torch-less machine
+        warnings.warn(
+            "torch unavailable: sampling settings from a numpy stream — "
+            "setting indices are NOT comparable with torch-sampled runs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         rng = np.random.default_rng(seed)
         return rng.random(shape, dtype=np.float32)
 

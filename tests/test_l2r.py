@@ -83,6 +83,29 @@ def test_task_loading(task_dir):
     assert lambdas == [0.75, 1.0, 1.25]
 
 
+def test_task_level_num_labels(task_dir):
+    """A dataset.json "labels" table fixes the label count task-wide, so a
+    case missing the top label id still returns same-length metric vectors
+    (per-case max would make run_validation_grid's stacking ragged)."""
+    import json as _json
+
+    djson = task_dir / "SynthTask" / "SynthTask_dataset.json"
+    original = djson.read_text()
+    try:
+        data = _json.loads(original)
+        data["labels"] = {"0": "background", "1": "organ_a", "2": "organ_b",
+                          "3": "never_present"}
+        djson.write_text(_json.dumps(data))
+        task = L2RTask.load(task_dir, "SynthTask")
+        assert task.num_labels == 3
+        from convexadam_tpu.selfconfig.l2r import _load_case
+
+        case = _load_case(task, task.registration_val[0])
+        assert case["num_labels"] == 3  # not the per-case max (2)
+    finally:
+        djson.write_text(original)  # task_dir is a shared module fixture
+
+
 def test_validation_grid_and_winner_and_testset(task_dir, tmp_path):
     task = L2RTask.load(task_dir, "SynthTask")
     results = run_validation_grid(
@@ -318,7 +341,8 @@ def test_nnunet_arm_uses_predictions_scores_gt(task_dir, tmp_path):
     field, _ = __import__(
         "convexadam_tpu.geometry.io", fromlist=["load_volume_nib_order"]
     ).load_volume_nib_order(
-        tmp_path / "val_imperfect" / f"disp_{key.replace(';', '_')}_case_0000.nii.gz"
+        tmp_path / "val_imperfect"
+        / f"disp_{key.replace(';', '_')}_case_0000_case_0001.nii.gz"
     )
     warped = warp_with_displacement(
         jnp.asarray(case["seg_m"], jnp.float32)[None],

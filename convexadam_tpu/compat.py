@@ -41,9 +41,11 @@ def _map_dtype(dtype) -> str:
     if dtype is None:
         return "auto"
     s = str(dtype)
-    if "float16" in s or s in ("auto", "bfloat16"):
+    if "bfloat16" in s:  # check FIRST: 'float16' is a substring of
+        return "bfloat16"  # 'torch.bfloat16'
+    if "float16" in s or s == "auto":
         # fp16 is the reference's GPU fast path; bf16 is ours on TPU
-        return "bfloat16" if s == "bfloat16" else "auto"
+        return "auto"
     if "float32" in s or "float64" in s:
         return "float32"
     raise ValueError(f"unsupported dtype {dtype!r}")

@@ -90,8 +90,16 @@ def _read_nifti(raw: bytes) -> tuple[np.ndarray, np.ndarray]:
     # NIfTI stores i fastest → C-order shape is reversed
     data = data.reshape(shape[::-1]).transpose(tuple(range(len(shape)))[::-1])
 
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        data = data * (scl_slope if scl_slope != 0 else 1.0) + scl_inter
+    # NIfTI-1 spec (and nibabel): scl_slope == 0 (or NaN) means NO scaling
+    # at all — the intercept must NOT be applied (some tools emit
+    # slope=0/inter!=0 for "unset")
+    if (
+        np.isfinite(scl_slope)
+        and np.isfinite(scl_inter)
+        and scl_slope != 0.0
+        and (scl_slope != 1.0 or scl_inter != 0.0)
+    ):
+        data = data * scl_slope + scl_inter
 
     if sform_code > 0:
         srow = np.array(
@@ -248,6 +256,11 @@ def _read_mha(raw: bytes, path: Path) -> MedicalImage:
         data = data.reshape(size[::-1] + [nchan])
     else:
         data = data.reshape(shape)
+    if ndims == 2:
+        # promote to a single-slice 3D volume: MedicalImage's contract (and
+        # every downstream consumer) is (z, y, x); the 2D direction matrix
+        # was embedded into the (x, y) block of the 3x3 above
+        data = data[None]
     return MedicalImage(
         data.astype(dtype.newbyteorder("=")),
         spacing=tuple(spacing[:3] + [1.0] * (3 - len(spacing))),
@@ -333,13 +346,17 @@ def load_volume_nib_order(path: Union[str, Path]) -> tuple[np.ndarray, np.ndarra
     (``nib.load(...).get_fdata()``, convex_adam_MIND.py:225-226).
     """
     path = Path(path)
-    raw = path.read_bytes()
-    if path.name.lower().endswith(".gz"):
-        raw = gzip.decompress(raw)
-    if path.name.lower().rstrip(".gz").endswith((".mha", ".mhd")) or path.name.lower().endswith((".mha", ".mhd")):
+    name = path.name.lower()
+    if name.endswith(".gz"):
+        name = name[: -len(".gz")]  # suffix removal — rstrip(".gz") strips
+        # any trailing run of '.', 'g', 'z' CHARACTERS, not the suffix
+    if name.endswith((".mha", ".mhd")):
         img = read_image(path)
         data = img.data.transpose(2, 1, 0) if img.data.ndim == 3 else img.data.transpose(2, 1, 0, 3)
         return np.asarray(data, np.float64), _image_to_ras_affine(img)
+    raw = path.read_bytes()
+    if path.name.lower().endswith(".gz"):
+        raw = gzip.decompress(raw)
     data, affine = _read_nifti(raw)
     return np.asarray(data, np.float64), affine
 

@@ -75,21 +75,38 @@ def register_tps_densified(
         np.float32,
     )  # (H, W, D, 3) voxels
 
-    # sample control points on the stride-3 grid inside the mask
-    # (task1_docker.py:371-378: fixed_mask[1::3,1::3,1::3], randperm[:4096])
-    mask3 = np.asarray(fixed_mask, np.float32)[1::3, 1::3, 1::3] > 0
-    coords3 = np.stack(np.nonzero(mask3), axis=1)  # (M, 3) in stride-3 units
-    coords = coords3 * 3 + 1  # voxel coords of the stride-3 grid
+    # control points: the reference builds an align_corners=True (H//3,
+    # W//3, D//3) lattice — normalized coords linspace(-1, 1, n) per axis,
+    # i.e. voxels i*(H-1)/(H//3-1), STRETCHED across the full extent, not
+    # the 3i+1 grid — masks it with fixed_mask[1::3,1::3,1::3] (cropped to
+    # the lattice shape; a deliberate reference quirk: the mask is read at
+    # 3i+1 while the point sits at the stretched position), randperms 4096,
+    # and grid_samples the dense field there with align_corners=False
+    # (task1_docker.py:365-374).  Only the permutation RNG differs (ours is
+    # seeded; torch.randperm was unseeded).
+    n3 = (H // 3, W // 3, D // 3)
+    mask3 = (
+        np.asarray(fixed_mask, np.float32)[1::3, 1::3, 1::3]
+        [: n3[0], : n3[1], : n3[2]] > 0
+    )
+    axes = [np.linspace(-1.0, 1.0, n, dtype=np.float32) for n in n3]
+    lattice = np.stack(
+        np.meshgrid(*axes, indexing="ij"), axis=-1
+    ).reshape(-1, 3)  # (M, 3) normalized, array order
+    pts_norm = lattice[mask3.reshape(-1)]
     rng = np.random.default_rng(seed)
-    sel = rng.permutation(len(coords))[:num_samples]
-    pts = coords[sel]  # (n, 3) voxels
+    pts_norm = pts_norm[rng.permutation(len(pts_norm))[:num_samples]]
 
-    # field values at the control points (the reference grid_samples the
-    # dense field at exactly these grid positions — identical to indexing)
-    vals = disp[pts[:, 0], pts[:, 1], pts[:, 2]]  # (n, 3) voxels
+    # field values at the (non-integer) control positions — trilinear
+    # grid_sample with the reference's default align_corners=False
+    vals = np.asarray(grid_sample_3d(
+        jnp.moveaxis(jnp.asarray(disp), -1, 0),
+        jnp.asarray(pts_norm).reshape(-1, 1, 1, 3),
+        align_corners=False,
+    )).reshape(3, -1).T  # (n, 3) voxels
 
     scale = (np.array([H, W, D], np.float32) - 1.0) / 2.0
-    x1 = jnp.asarray(pts / scale - 1.0, jnp.float32)  # normalized (ac=True)
+    x1 = jnp.asarray(pts_norm, jnp.float32)
     y1 = jnp.asarray(vals / scale, jnp.float32)
 
     dense = thin_plate_dense(x1, y1, (H, W, D), tps_step, 0.0)  # (H,W,D,3) norm.

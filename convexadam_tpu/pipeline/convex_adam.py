@@ -92,10 +92,22 @@ def _convex_stage(
     feat_mov: jax.Array,
     cfg: ConvexAdamConfig,
     full_shape: tuple[int, int, int],
+    for_adam_init: bool = False,
 ) -> jax.Array:
     """Stages 2-5: pooling, cost volume, coupled convex, inverse consistency.
 
     Returns the full-resolution displacement field (3, H, W, D) in voxels.
+
+    ``for_adam_init=True`` returns the field at the resolution the reference
+    feeds to the Adam-init resize instead: for ``ic=False`` that is the
+    COARSE grid (the correct-units ic=False reference code — the task2/task3
+    dockers, l2r_2021_convexAdam_task3_docker.py:159 — resizes
+    ``disp_soft*grid_sp`` straight to the Adam grid in ONE interpolation;
+    an extra round trip through full resolution blurs the init with a
+    trilinear kernel, e.g. non-identity even when grid_sp == grid_sp_adam).
+    For ``ic=True`` it stays full resolution: the reference interpolates the
+    IC field to full res (convex_adam_MIND.py:141) and resizes THAT to the
+    Adam grid (:153) — two interpolations, reproduced exactly.
     """
     H, W, D = full_shape
     g = cfg.grid_sp
@@ -131,6 +143,8 @@ def _convex_stage(
             disp_ice * scale * g, (H, W, D), align_corners=False
         )
     else:
+        if for_adam_init:
+            return disp_soft * g  # coarse res, full-res voxel units
         disp_hr = resize_trilinear(disp_soft * g, (H, W, D), align_corners=False)
     return disp_hr
 
@@ -142,6 +156,12 @@ def _adam_stage(
     cfg: ConvexAdamConfig,
 ) -> tuple[jax.Array, jax.Array]:
     """Stage 6 (+7): instance optimisation and final smoothing.
+
+    ``disp_hr`` is the Adam init in FULL-RES VOXEL UNITS at any spatial
+    resolution — full res for ic=True, the coarse convex grid for ic=False
+    (see ``_convex_stage(for_adam_init=True)``); one trilinear resize takes
+    it to the Adam grid either way, exactly like the reference
+    (convex_adam_MIND.py:153 / l2r_2021_convexAdam_task3_docker.py:159).
 
     Returns (final field, snapshot fields), both (.., 3, H, W, D) full-res
     voxel-unit displacements.
@@ -203,8 +223,11 @@ def convex_adam_features(
     Returns the displacement field (H, W, D, 3), array-order channels, voxels.
     """
     H, W, D = feat_fix.shape[1:]
-    disp_hr = _convex_stage(feat_fix, feat_mov, cfg, (H, W, D))
-    if cfg.lambda_weight > 0:
+    run_adam = cfg.lambda_weight > 0
+    disp_hr = _convex_stage(
+        feat_fix, feat_mov, cfg, (H, W, D), for_adam_init=run_adam
+    )
+    if run_adam:
         disp_hr, _ = _adam_stage(feat_fix, feat_mov, disp_hr, cfg)
     return jnp.moveaxis(disp_hr, 0, -1)
 
@@ -262,17 +285,23 @@ def convex_adam_multi_output(
     """
     H, W, D = feat_fix.shape[1:]
     g2 = cfg.grid_sp_adam
-    disp_hr = _convex_stage(feat_fix, feat_mov, cfg, (H, W, D))
+    if min(H // g2, W // g2, D // g2) < 2:
+        raise ValueError(
+            f"grid_sp_adam={g2} leaves an Adam grid of "
+            f"{(H // g2, W // g2, D // g2)} for volume {(H, W, D)}; every "
+            "axis needs >= 2 cells"
+        )
+    disp_init = _convex_stage(
+        feat_fix, feat_mov, cfg, (H, W, D), for_adam_init=True
+    )
 
     patch_fix = avg_pool3d(feat_fix.astype(jnp.float32), g2, stride=g2)
     patch_mov = avg_pool3d(feat_mov.astype(jnp.float32), g2, stride=g2).astype(
         cfg.compute_dtype
     )
     disp_lr = resize_trilinear(
-        disp_hr, (H // g2, W // g2, D // g2), align_corners=False
+        disp_init, (H // g2, W // g2, D // g2), align_corners=False
     )
-    from convexadam_tpu.core.adam import adam_instance_optimisation
-
     _, snaps = adam_instance_optimisation(
         patch_fix,
         patch_mov,
@@ -288,6 +317,9 @@ def convex_adam_multi_output(
         hr = resize_trilinear(snaps[i] * g2, (H, W, D), align_corners=False)
         row = []
         for k in smoothings:
+            if k > 0 and k % 2 == 0:
+                k += 1  # even kernels shift by half a voxel; round up like
+                # the single-output path (_adam_stage)
             row.append(
                 jnp.moveaxis(box_smooth_repeated(hr, k, 3) if k > 0 else hr, 0, -1)
             )

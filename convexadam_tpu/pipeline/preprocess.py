@@ -33,11 +33,13 @@ def mask_infill(img: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
     # half-resolution nearest-inside indices via EDT of the outside region
     outside_half = mask_d[::2, ::2, ::2] == 0
-    idx = edt_nearest_indices(outside_half)  # (3, H/2, W/2, D/2) int
+    idx = edt_nearest_indices(outside_half)  # (3, ceil(H/2), ...) int
     img_half = img[::2, ::2, ::2]
-    h2, w2, d2 = img_half.shape
-    lin = (idx[0].astype(np.int64) * (D // 2) * (W // 2)
-           + idx[1].astype(np.int64) * (D // 2)
+    h2, w2, d2 = img_half.shape  # ceil(S/2) per axis — the strides below
+    # must use THESE (odd dims: floor(S/2) strides would gather misaligned
+    # voxels, and the x2 upsample overshoots by one — crop back to S)
+    lin = (idx[0].astype(np.int64) * d2 * w2
+           + idx[1].astype(np.int64) * d2
            + idx[2].astype(np.int64))
     gathered = img_half.reshape(-1)[lin.reshape(-1)].reshape(h2, w2, d2)
 
@@ -47,9 +49,6 @@ def mask_infill(img: np.ndarray, mask: np.ndarray) -> np.ndarray:
             (2 * h2, 2 * w2, 2 * d2),
             align_corners=False,
         )[0]
-    )
-    out = np.zeros_like(img, dtype=np.float32)
-    out[: 2 * h2, : 2 * w2, : 2 * d2] = filled
+    )[:H, :W, :D]
     inside = mask_d != 0
-    out[inside] = img[inside]
-    return out
+    return np.where(inside, img, filled).astype(np.float32)

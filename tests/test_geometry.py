@@ -51,6 +51,54 @@ def test_mha_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(back.direction_matrix, img.direction_matrix, atol=1e-6)
 
 
+def test_mha_2d_promoted_to_single_slice(tmp_path):
+    """A 2D MetaImage (NDims=2) must load as a (1, ny, nx) volume with the
+    2x2 TransformMatrix embedded into the (x, y) block of the direction —
+    neither a reshape crash nor a downstream unpacking crash."""
+    hdr = (
+        "ObjectType = Image\nNDims = 2\nDimSize = 4 3\n"
+        "ElementType = MET_FLOAT\nTransformMatrix = 0 -1 1 0\n"
+        "Offset = 5 6\nElementSpacing = 2 3\nElementDataFile = LOCAL\n"
+    )
+    body = np.arange(12, dtype=np.float32).tobytes()
+    p = tmp_path / "slice2d.mha"
+    p.write_bytes(hdr.encode() + body)
+    img = read_image(p)
+    assert img.data.shape == (1, 3, 4)
+    np.testing.assert_allclose(img.data[0].ravel(), np.arange(12))
+    assert img.spacing == (2.0, 3.0, 1.0) and img.origin == (5.0, 6.0, 0.0)
+    dm = np.asarray(img.direction).reshape(3, 3)
+    np.testing.assert_allclose(dm[:2, :2], [[0, 1], [-1, 0]])
+    np.testing.assert_allclose(dm[2], [0, 0, 1])
+    assert img.size == (4, 3, 1)  # (x, y, z) — downstream accessor works
+
+
+def test_nifti_scl_slope_zero_means_no_scaling(rng, tmp_path):
+    """NIfTI-1: scl_slope == 0 (a common 'unset' pattern) means NO scaling —
+    the intercept must not be applied (nibabel semantics)."""
+    import struct
+
+    data = rng.standard_normal((5, 6, 7)).astype(np.float32)
+    p = tmp_path / "raw.nii"
+    save_volume_nib_order(data, np.eye(4), p)
+    blob = bytearray(p.read_bytes())
+    struct.pack_into("<f", blob, 112, 0.0)    # scl_slope = 0
+    struct.pack_into("<f", blob, 116, 100.0)  # scl_inter = 100
+    p.write_bytes(bytes(blob))
+    back, _ = load_volume_nib_order(p)
+    np.testing.assert_allclose(back, data, atol=1e-6)  # NOT shifted by 100
+    # NaN slope likewise means unset
+    struct.pack_into("<f", blob, 112, float("nan"))
+    p.write_bytes(bytes(blob))
+    back, _ = load_volume_nib_order(p)
+    np.testing.assert_allclose(back, data, atol=1e-6)
+    # a real slope/intercept IS applied
+    struct.pack_into("<f", blob, 112, 2.0)
+    p.write_bytes(bytes(blob))
+    back, _ = load_volume_nib_order(p)
+    np.testing.assert_allclose(back, data * 2.0 + 100.0, rtol=1e-6)
+
+
 def test_nib_order_roundtrip(rng, tmp_path):
     data = rng.standard_normal((6, 7, 8, 3)).astype(np.float32)
     affine = np.array(

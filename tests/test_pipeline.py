@@ -97,6 +97,45 @@ def test_semantic_pipeline_identity():
     assert match > 0.995, f"label match only {match:.4f}"
 
 
+def test_noic_adam_init_single_resize():
+    """With ic=False the Adam init takes ONE resize from the coarse convex
+    grid (the correct-units reference form, l2r task2/task3 dockers:
+    ``F.interpolate(disp_soft*grid_sp, size=adam_grid)``); for
+    grid_sp == grid_sp_adam that resize is the identity.  The old full-res
+    round trip (coarse -> full -> adam grid) blurred the init with a
+    trilinear kernel even at equal grids."""
+    from convexadam_tpu.core.convex import convex_displacement
+    from convexadam_tpu.core.smoothing import avg_pool3d
+    from convexadam_tpu.core.warp import resize_trilinear
+    from convexadam_tpu.pipeline.convex_adam import convex_adam_features
+
+    vol = _synthetic_volume((24, 24, 24), seed=5)
+    mov = np.roll(vol, (2, -1, 1), axis=(0, 1, 2))
+    from convexadam_tpu.core.features import mindssc
+
+    f = mindssc(jnp.asarray(vol), 1, 2)
+    m = mindssc(jnp.asarray(mov), 1, 2)
+    cfg = ConvexAdamConfig(
+        grid_sp=2, disp_hw=2, grid_sp_adam=2, lambda_weight=1.0,
+        selected_niter=8, ic=False, dtype="float32",
+    )
+    got = np.asarray(convex_adam_features(f, m, cfg))
+
+    g = 2
+    fs = avg_pool3d(f.astype(jnp.float32), g, stride=g)
+    ms = avg_pool3d(m.astype(jnp.float32), g, stride=g)
+    disp_soft = convex_displacement(fs, ms, 2)
+    fitted, _ = adam_instance_optimisation(
+        fs, ms, disp_soft * g / g, lambda_weight=1.0, niter=8,
+        snapshot_iters=cfg.snapshot_iters, smoother=cfg.adam_smoother,
+    )
+    exp = np.asarray(jnp.moveaxis(
+        resize_trilinear(fitted * g, (24, 24, 24), align_corners=False),
+        0, -1,
+    ))
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
 def test_adam_stage_matches_torch_oracle(rng):
     """The Adam instance optimisation must track a torch re-derivation
     (optimizer semantics + grid conventions, convex_adam_MIND.py:147-181)."""

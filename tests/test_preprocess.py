@@ -48,6 +48,27 @@ def test_mask_infill_matches_oracle(rng):
     assert frac_equal > 0.95, f"only {frac_equal:.2%} voxels match oracle"
 
 
+def test_mask_infill_odd_dims(rng):
+    """Odd spatial dims: the half-res strides must use the ceil-sized array
+    shape and the x2 upsample must crop back — previously this crashed on
+    broadcast (e.g. a 192x192x207 lung CT) and gathered misaligned voxels."""
+    H, W, D = 23, 24, 21
+    img = rng.standard_normal((H, W, D)).astype(np.float32) * 50
+    mask = np.zeros((H, W, D), np.float32)
+    mask[6:17, 4:20, 5:16] = 1.0
+
+    ours = mask_infill(img, mask)
+    assert ours.shape == (H, W, D)
+    inside = _dilated(mask) != 0
+    np.testing.assert_allclose(ours[inside], img[inside], atol=1e-5)
+    # outside values must be genuine inside-mask values (nearest-neighbour
+    # infill at half res never invents data): every outside voxel's infill
+    # must appear among the half-grid inside values
+    half_vals = img[::2, ::2, ::2][_dilated(mask)[::2, ::2, ::2] != 0]
+    lo, hi = half_vals.min(), half_vals.max()
+    assert ours[~inside].min() >= lo - 1e-4 and ours[~inside].max() <= hi + 1e-4
+
+
 def _dilated(mask):
     t = torch.from_numpy(mask)
     H, W, D = mask.shape

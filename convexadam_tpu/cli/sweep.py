@@ -97,7 +97,10 @@ def main(argv=None):
             f"dice {res.dice[res.best,0]:.4f}/{res.dice[res.best,1]:.4f} "
             f"jstd {res.jstd[res.best,0]:.4f}"
         )
-        return res.best
+        # the console-script wrapper sys.exit()s this return value — the
+        # best INDEX must not become a failure exit code (it is printed and
+        # saved in the results npz instead)
+        return 0
 
     if args.stage == "adam":
         assert args.convex_s is not None, "--convex_s required"
@@ -120,7 +123,7 @@ def main(argv=None):
             f"iters={iters} extra_smooth={kks}"
         )
         print(f"dice {res.dice[res.best,0]:.4f}/{res.dice[res.best,1]:.4f}")
-        return res.best
+        return 0
 
     # infer: rerun chosen settings on test pairs and save fields
     assert args.convex_s is not None and args.adam_s1 is not None

@@ -19,6 +19,15 @@ def main(argv=None):
     parser.add_argument("--co_moving_paths", type=Path, nargs="+", default=None)
     parser.add_argument("--co_moving_output_paths", type=Path, nargs="+", default=None)
     args = parser.parse_args(argv)
+    # validate BEFORE the (minutes-long, remote-compiled) registration runs:
+    # co-moving inputs need matching outputs or they'd crash/drop at the end
+    n_co = len(args.co_moving_paths or [])
+    n_co_out = len(args.co_moving_output_paths or [])
+    if n_co != n_co_out:
+        parser.error(
+            f"--co_moving_paths gave {n_co} inputs but "
+            f"--co_moving_output_paths gave {n_co_out} outputs"
+        )
 
     from convexadam_tpu.geometry.io import read_image, write_image
     from convexadam_tpu.pipeline.translation import convex_adam_translation

@@ -117,7 +117,13 @@ def jump_flood_sqdist(seeds: jax.Array) -> jax.Array:
             )
             c32 = cand.astype(jnp.int32)
             cd2 = c32[:, 0] * c32[:, 0] + c32[:, 1] * c32[:, 1] + c32[:, 2] * c32[:, 2]
-            cd2 = jnp.where(valid, cd2, _SENTINEL)
+            # a neighbour that itself knows no seed carries the sentinel
+            # offset (~_REL_SENT per axis, squared ~2e8 < 2**30): without
+            # this guard a seedless batch slice would return that garbage
+            # instead of the documented 2**30 (real offsets are bounded by
+            # the volume extent << _REL_SENT/2)
+            from_seed = jnp.max(jnp.abs(c32), axis=1) < (_REL_SENT // 2)
+            cd2 = jnp.where(valid & from_seed, cd2, _SENTINEL)
             better = cd2 < d2
             d2 = jnp.where(better, cd2, d2)
             rel = jnp.where(better[:, None], cand, rel)
@@ -678,22 +684,37 @@ def suggest_hd95_caps(
     warped surfaces are unknown when it sizes), this measures the two
     volumes actually being compared — use it for per-case evaluation
     (selfconfig/l2r.py:evaluate_field) where both segs are on the host
-    anyway."""
+    anyway.
+
+    Caps round up to power-of-two MULTIPLES OF 4096 (4096, 8192, 16384, …),
+    not the sweep engine's 4096 granularity: this function runs per case —
+    per VARIANT in a validation grid — and every distinct ``groups`` tuple
+    is a new static jit signature costing a 30 s–5 min remote compile on
+    TPU.  Coarse rounding makes repeat signatures (= compile-cache hits)
+    the common case, at worst ~2x extra search cells on a bucket — cheap
+    MXU work against minutes of compiler wall-clock."""
     need_f, tot_f = surface_stats(seg_fixed, num_labels)
     need_m, tot_m = surface_stats(seg_moving, num_labels)
     import numpy as np  # noqa: PLC0415 (host-side sizing)
+
+    def round_pow2_4096(n: int) -> int:
+        k = 4096
+        while k < n:
+            k *= 2
+        return k
+
     need = np.maximum(need_f, need_m)
     n_vox = int(np.asarray(seg_fixed).size)
+    cap_max = round_pow2_4096(n_vox)
     buckets: dict = {}
     for lab in range(1, num_labels + 1):
-        k = 4096 * int(np.ceil(max(int(need[lab]), 1) / 4096))
-        k = min(k, 4096 * ((n_vox + 4095) // 4096))
+        k = min(round_pow2_4096(max(int(need[lab]), 1)), cap_max)
         buckets.setdefault(k, []).append(lab)
     groups = tuple(
         (tuple(labs), k) for k, labs in sorted(buckets.items())
     )
-    global_cap = 4096 * int(np.ceil(max(tot_f, tot_m, 1) / 4096))
-    return groups, min(global_cap, n_vox)
+    global_cap = min(round_pow2_4096(max(tot_f, tot_m, 1)), cap_max)
+    return groups, global_cap
 
 
 @functools.partial(

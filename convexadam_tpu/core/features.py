@@ -19,6 +19,8 @@ Reference behaviour:
 from __future__ import annotations
 
 import functools
+from typing import Sequence
+
 import jax
 import jax.numpy as jnp
 

@@ -233,8 +233,10 @@ def ssim3d(
 # ---------------------------------------------------------------------------
 
 def sort_rank(values: np.ndarray) -> np.ndarray:
-    """Normalized rank in [0.1, 1]: best value (largest) → 1, worst → 0.1
-    (convexAdam_hyper_util.py:28-31 — rank1[argsort] = linspace(1, .1))."""
+    """Normalized rank in [0.1, 1]: the SMALLEST value gets 1.0, the largest
+    0.1 (convexAdam_hyper_util.py:28-31 — rank1[argsort] = linspace(1, .1)),
+    so bigger-is-better metrics (dice) must be NEGATED by the caller; the
+    sweep engines do (e.g. selfconfig/engine.py sort_rank(-flat_dice))."""
     values = np.asarray(values, np.float64)
     n = len(values)
     rank = np.empty(n)

@@ -591,7 +591,18 @@ def _stacked_mse(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape):
     return loss
 
 
-def _stacked_mse_fwd(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape):
+def _fused_loss_grad(
+    vol8, disp, fix_flat, cost_scale, align_corners, vol_shape,
+    interpret=False,
+):
+    """Shared body of the fused data term: corner-stack gather + one-pass
+    loss/coordinate-gradient kernel.  Both the ``custom_vjp`` path
+    (:func:`_stacked_mse_fwd`) and the explicitly-composed Adam-loop path
+    (:func:`warp_ssd_loss_and_grad`) route through here — the index math
+    and chain factors must never diverge between them.
+
+    Returns ``(loss, ddisp, block, ssq_total)``.
+    """
     from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
         corner_reduce_loss_grad_batchable,
     )
@@ -612,13 +623,21 @@ def _stacked_mse_fwd(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape)
     # One HBM read of the 170 MB gathered block per iteration instead of two.
     chain0 = 2.0 * jnp.asarray(cost_scale, jnp.float32) / (C * n)
     ssq, dg3 = corner_reduce_loss_grad_batchable(
-        block, pos, fix_flat.astype(jnp.float32), chain0, vol_shape
+        block, pos, fix_flat, chain0, vol_shape, interpret=interpret
     )
     ssq_total = jnp.sum(ssq)
     loss = ssq_total * (cost_scale / (C * n))
-    ddisp_pre = jnp.concatenate(
+    ddisp = jnp.concatenate(
         [dg3[0:1] * fac[0], dg3[1:2] * fac[1], dg3[2:3] * fac[2]]
     ).reshape(disp.shape)
+    return loss, ddisp, block, ssq_total
+
+
+def _stacked_mse_fwd(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape):
+    loss, ddisp_pre, block, ssq_total = _fused_loss_grad(
+        vol8, disp, fix_flat.astype(jnp.float32), cost_scale,
+        align_corners, vol_shape,
+    )
     return loss, (
         ddisp_pre, block, disp, fix_flat, cost_scale, ssq_total,
         jnp.zeros((0,), vol8.dtype),
@@ -717,28 +736,10 @@ def warp_ssd_loss_and_grad(
     Only valid on the fused path — callers must check
     ``corner_reduce_supported(H*W*D)`` and the TPU backend first.
     """
-    from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
-        corner_reduce_loss_grad_batchable,
+    loss, ddisp, _, _ = _fused_loss_grad(
+        vol8, disp_voxels, fix_flat, cost_scale, align_corners, vol_shape,
+        interpret=interpret,
     )
-
-    C, H, W, D = vol_shape
-    n = H * W * D
-    pos, fac = _stacked_mse_pos(disp_voxels, align_corners, vol_shape)
-    x0i = jnp.floor(pos).astype(jnp.int32)
-    xb = jnp.clip(x0i[0] + 1, 0, H)
-    yb = jnp.clip(x0i[1] + 1, 0, W)
-    zb = jnp.clip(x0i[2] + 1, 0, D)
-    lin = (xb * (W + 1) + yb) * (D + 1) + zb
-    vol8_flat = vol8.reshape(8 * C, -1)
-    block = _take_columns_fenced(vol8_flat, lin)
-    chain0 = 2.0 * jnp.asarray(cost_scale, jnp.float32) / (C * n)
-    ssq, dg3 = corner_reduce_loss_grad_batchable(
-        block, pos, fix_flat, chain0, vol_shape, interpret=interpret
-    )
-    loss = jnp.sum(ssq) * (cost_scale / (C * n))
-    ddisp = jnp.concatenate(
-        [dg3[0:1] * fac[0], dg3[1:2] * fac[1], dg3[2:3] * fac[2]]
-    ).reshape(disp_voxels.shape)
     return loss, ddisp
 
 

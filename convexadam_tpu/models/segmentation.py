@@ -271,7 +271,11 @@ def sliding_window_predict(
     windows.
     """
     volume = np.asarray(volume, np.float32)
-    patch_size = [min(p, s) for p, s in zip(patch_size, volume.shape)]
+    # pad BEFORE any clamping: the network was trained at patch_size (its
+    # stride-2 levels need those extents), so short axes get edge-padded up
+    # to the patch and cropped back — clamping the patch instead would feed
+    # the U-Net shapes its down/up path cannot concatenate
+    patch_size = [int(p) for p in patch_size]
     pad = [max(0, p - s) for p, s in zip(patch_size, volume.shape)]
     if any(pad):
         volume = np.pad(volume, [(0, p) for p in pad], mode="edge")

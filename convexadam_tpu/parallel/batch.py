@@ -88,15 +88,21 @@ def register_pairs_sharded(
     ``shard_space=True`` the leading spatial axis is additionally sharded over
     the ``space`` axis (GSPMD spatial partitioning).
     """
-    spec = P("pair", "space" if shard_space else None)
-    sharding = NamedSharding(mesh, spec)
+    sharding = NamedSharding(mesh, P("pair", "space" if shard_space else None))
     fixed_s = jax.device_put(jnp.asarray(fixed), sharding)
     moving_s = jax.device_put(jnp.asarray(moving), sharding)
-    out_spec = P("pair", "space" if shard_space else None)
-    fn = jax.jit(
+    return _sharded_register_fn(mesh, cfg, shard_space)(fixed_s, moving_s)
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_register_fn(mesh: Mesh, cfg: ConvexAdamConfig, shard_space: bool):
+    """Memoised jitted program for :func:`register_pairs_sharded` (Mesh and
+    the frozen config are hashable) — a fresh jax.jit object per call has an
+    empty dispatch cache, re-tracing and re-querying the slow remote
+    compile path on every batch (cf. core/convex.py:_tp_convex_fn)."""
+    sharding = NamedSharding(mesh, P("pair", "space" if shard_space else None))
+    return jax.jit(
         jax.vmap(lambda f, m: convex_adam_jax(f, m, cfg)),
         in_shardings=(sharding, sharding),
-        out_shardings=NamedSharding(mesh, out_spec),
-        static_argnames=(),
+        out_shardings=sharding,
     )
-    return fn(fixed_s, moving_s)

@@ -17,9 +17,11 @@ Differences, all documented:
 * ``ic=False`` runs with the reference's unit bug FIXED (see
   pipeline/convex_adam.py module docstring): the reference feeds the Adam
   stage a coarse-resolution field in grid_sp units (convex_adam_MIND.py:144);
-  we upsample and rescale as its own challenge scripts do.  Pointwise
-  parity with the reference is impossible there by design; transform
-  recovery is pinned by tests instead.
+  we instead resize ``disp_soft*grid_sp`` straight to the Adam grid in one
+  interpolation, exactly as its own challenge scripts do
+  (l2r_2021_convexAdam_task3_docker.py:159).  Pointwise parity with the
+  packaged reference is impossible there by design; transform recovery is
+  pinned by tests instead.
 * even ``selected_smooth`` values are rounded UP to the next odd kernel:
   the reference warns "selected_smooth should be an odd number" and then
   applies the even box anyway (convex_adam_MIND.py:184-191), which shifts

@@ -50,6 +50,18 @@ def test_convex_adam_pt_accepts_torch_inputs_and_fp16_policy(rng):
     assert np.isfinite(d).all()
 
 
+def test_dtype_map_bfloat16_not_shadowed_by_float16():
+    """'float16' is a substring of 'torch.bfloat16' — an explicit bf16
+    request must map to bfloat16, not the auto policy."""
+    from convexadam_tpu.compat import _map_dtype
+
+    assert _map_dtype(torch.bfloat16) == "bfloat16"
+    assert _map_dtype("bfloat16") == "bfloat16"
+    assert _map_dtype(torch.float16) == "auto"
+    assert _map_dtype(torch.float32) == "float32"
+    assert _map_dtype(None) == "auto"
+
+
 def test_convex_adam_file_to_file(rng, tmp_path):
     """File-level compat: loads niftis, writes <result_path>/disp.nii.gz
     with the fixed affine (convex_adam_MIND.py:205-248)."""

@@ -29,10 +29,22 @@ def test_sliding_window_matches_direct_for_shift_invariant_fn():
     out = sliding_window_predict(predict, vol, (8, 8, 8), step_size=0.5)
     direct = np.asarray(jnp.argmax(predict(jnp.asarray(vol)), -1))
     np.testing.assert_array_equal(out, direct)
-    # volume smaller than the patch: padded then cropped back
+    # volume smaller than the patch: padded then cropped back — the
+    # predictor must SEE the full trained patch shape (a clamped patch
+    # would crash a real U-Net's stride-2 down/up path)
+    seen = []
+
+    def predict_logging(patch):
+        seen.append(tuple(patch.shape))
+        return predict(patch)
+
     small = rng.standard_normal((5, 6, 7)).astype(np.float32)
-    out_s = sliding_window_predict(predict, small, (8, 8, 8))
+    out_s = sliding_window_predict(predict_logging, small, (8, 8, 8))
     assert out_s.shape == small.shape
+    assert set(seen) == {(8, 8, 8)}, set(seen)
+    np.testing.assert_array_equal(
+        out_s, np.asarray(jnp.argmax(predict(jnp.asarray(small)), -1))
+    )
 
 
 def test_end_to_end_semantic_registration_from_images():

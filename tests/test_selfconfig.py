@@ -209,6 +209,47 @@ def test_stage2_rank_invariant_to_setting_order_without_hd95():
     np.testing.assert_allclose(rank_rev_as_fwd, res_fwd.rank, atol=0.05)
 
 
+def test_checkpoint_npz_fallback_survives_results_write(tmp_path):
+    """Without orbax the checkpoint falls back to <base>.ckpt.npz — DISTINCT
+    from the sweep CLI's final results npz at the base path, which used to
+    clobber it (killing resume); clear() must remove the fallback too."""
+    from convexadam_tpu.selfconfig.checkpoint import SweepCheckpointer
+
+    base = tmp_path / "sweep_out"
+    ck = SweepCheckpointer(base)
+    ck._ocp = None  # force the npz fallback
+    ck.save({"dice": np.ones(3), "completed": np.array([0, 1])})
+    np.savez(base, dice=np.zeros(3))  # the CLI's final results write
+    st = ck.restore()
+    assert st is not None and "completed" in st
+    np.testing.assert_array_equal(st["dice"], np.ones(3))
+    ck.clear()
+    assert ck.restore() is None
+
+
+def test_torchless_setting_sampler_warns(monkeypatch):
+    """Persisted setting indices are only meaningful under the torch RNG
+    stream — the numpy fallback must warn, not silently diverge."""
+    import builtins
+    import warnings
+
+    from convexadam_tpu.selfconfig.settings import _torch_rand
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **k):
+        if name == "torch":
+            raise ImportError("simulated")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = _torch_rand(1004, (4, 3))
+    assert out.shape == (4, 3)
+    assert any("NOT comparable" in str(x.message) for x in w)
+
+
 def test_sweep_checkpoint_resume(tmp_path):
     """Orbax-backed checkpoint/resume: a resumed sweep must skip completed
     setting batches (proved by swapping the input data after the first run —

@@ -77,6 +77,35 @@ def _field_metrics(disp, kf, km, mask, rmask, spacing):
     )
 
 
+def _paired_batch(imgs_fixed, imgs_moving, kpts_fixed, kpts_moving, mesh):
+    """Shared pair-axis setup of both paired sweeps: robust30 masks, padded
+    keypoint batches, and (with a ``mesh``) the pair dimension padded to the
+    shard count and committed to the devices once with a ``pair`` sharding —
+    the reference's process-per-GPU fan-out (convex_run_paired_mind.py) as
+    one SPMD program, like the semantic engine's sweeps."""
+    from convexadam_tpu.selfconfig.engine import (  # noqa: PLC0415
+        _dev,
+        _mesh_factors,
+        _pad_axis0,
+        _sweep_specs,
+    )
+
+    P = imgs_fixed.shape[0]
+    robust30 = [
+        _robust30_keypoints(np.asarray(kpts_fixed[i]), np.asarray(kpts_moving[i]))
+        for i in range(P)
+    ]
+    kf, km, mask, rmask = _padded_keypoints(kpts_fixed, kpts_moving, robust30)
+    _, n_pair_shards = _mesh_factors(mesh)
+    pair_sh, _, rep_sh, _ = _sweep_specs(mesh)
+    P_pad = -(-P // n_pair_shards) * n_pair_shards
+    batch = [
+        _dev(_pad_axis0(np.asarray(a, np.float32), P_pad), pair_sh)
+        for a in (imgs_fixed, imgs_moving, kf, km, mask, rmask)
+    ]
+    return P, batch, pair_sh, rep_sh
+
+
 def run_stage1_paired_sweep(
     imgs_fixed: np.ndarray,
     imgs_moving: np.ndarray,
@@ -85,46 +114,56 @@ def run_stage1_paired_sweep(
     settings: Sequence[Stage1PairedSetting],
     spacing: Optional[np.ndarray] = None,
     verbose: bool = False,
+    mesh=None,
 ) -> SweepResult:
     """Stage-1 paired sweep: for each setting x pair, run the convex stage on
     MIND features and score keypoint TRE (mean + robust30) and SDlogJ
-    (convex_run_paired_mind.py:104-204)."""
-    P = imgs_fixed.shape[0]
-    robust30 = [
-        _robust30_keypoints(np.asarray(kpts_fixed[i]), np.asarray(kpts_moving[i]))
-        for i in range(P)
-    ]
+    (convex_run_paired_mind.py:104-204).
+
+    With a ``mesh`` (any mesh with a ``pair`` axis, e.g.
+    ``parallel.batch.make_sweep_mesh``) the pair axis shards across
+    devices; settings stay a host loop — each changes MIND radius/grid
+    shapes, so there is no shared program to batch over."""
     S = len(settings)
     tre = np.zeros((S, 2))
     jstd = np.zeros((S, 2))
     times = np.zeros(S)
 
-    imgs_f = jnp.asarray(imgs_fixed, jnp.float32)
-    imgs_m = jnp.asarray(imgs_moving, jnp.float32)
-    kf_p, km_p, mask_p, rmask_p = _padded_keypoints(
-        kpts_fixed, kpts_moving, robust30
+    P, batch, pair_sh, rep_sh = _paired_batch(
+        imgs_fixed, imgs_moving, kpts_fixed, kpts_moving, mesh
     )
+    imgs_f, imgs_m, kf_p, km_p, mask_p, rmask_p = batch
     sp_j = None if spacing is None else jnp.asarray(spacing, jnp.float32)
+    eval_kw = {} if mesh is None else dict(
+        in_shardings=(pair_sh,) * 5 + ((rep_sh,) if sp_j is not None else (None,)),
+        out_shardings=pair_sh,
+    )
     eval_fn = jax.jit(
-        jax.vmap(_field_metrics, in_axes=(0, 0, 0, 0, 0, None))
+        jax.vmap(_field_metrics, in_axes=(0, 0, 0, 0, 0, None)), **eval_kw
     )
 
     compiled = {}
     for s, st in enumerate(settings):
         key = (st.mind_r, st.mind_d, st.grid_sp, st.disp_hw)
         if key not in compiled:
+            jit_kw = {} if mesh is None else dict(
+                in_shardings=(pair_sh, pair_sh), out_shardings=pair_sh
+            )
             compiled[key] = jax.jit(
                 jax.vmap(
                     lambda f, m, _k=key: convex_field_mind(
                         f, m, mind_r=_k[0], mind_d=_k[1],
                         grid_sp=_k[2], disp_hw=_k[3],
                     )
-                )
+                ),
+                **jit_kw,
             )
         t0 = time.time()
-        disps = compiled[key](imgs_f, imgs_m)  # (P, 3, H, W, D)
+        disps = compiled[key](imgs_f, imgs_m)  # (P_pad, 3, H, W, D)
         # 4 scalars per pair cross the host link, not det volumes
-        mets = np.asarray(eval_fn(disps, kf_p, km_p, mask_p, rmask_p, sp_j))
+        mets = np.asarray(
+            eval_fn(disps, kf_p, km_p, mask_p, rmask_p, sp_j)
+        )[:P]
         tre[s] = mets[:, :2].mean(axis=0)
         jstd[s] = mets[:, 2:].mean(axis=0)
         times[s] = time.time() - t0
@@ -147,27 +186,32 @@ def run_stage2_paired_sweep(
     adam_settings: Sequence[Stage2Setting],
     spacing: Optional[np.ndarray] = None,
     verbose: bool = False,
+    mesh=None,
 ) -> SweepResult:
     """Stage-2 paired sweep: Adam refinement with the shift-spline smoother
     bank, evaluated at {60,80,100,120} iters x 4 smoothing levels by TRE
-    (adam_run_paired_mind_shiftSpline.py:160-296)."""
-    P = imgs_fixed.shape[0]
-    robust30 = [
-        _robust30_keypoints(np.asarray(kpts_fixed[i]), np.asarray(kpts_moving[i]))
-        for i in range(P)
-    ]
-    imgs_f = jnp.asarray(imgs_fixed, jnp.float32)
-    imgs_m = jnp.asarray(imgs_moving, jnp.float32)
+    (adam_run_paired_mind_shiftSpline.py:160-296).
+
+    With a ``mesh`` the pair axis shards like stage 1 (settings sharing a
+    (grid_sp_adam, avg_n) shape key still compile once; lambda is traced)."""
     H, W, D = imgs_fixed.shape[1:]
+    P, batch, pair_sh, rep_sh = _paired_batch(
+        imgs_fixed, imgs_moving, kpts_fixed, kpts_moving, mesh
+    )
+    imgs_f, imgs_m, kf_p, km_p, mask_p, rmask_p = batch
 
     # pass A: cached convex fields (full-res)
+    conv_kw = {} if mesh is None else dict(
+        in_shardings=(pair_sh, pair_sh), out_shardings=pair_sh
+    )
     conv_fn = jax.jit(
         jax.vmap(
             lambda f, m: convex_field_mind(
                 f, m, mind_r=convex_setting.mind_r, mind_d=convex_setting.mind_d,
                 grid_sp=convex_setting.grid_sp, disp_hw=convex_setting.disp_hw,
             )
-        )
+        ),
+        **conv_kw,
     )
     disps_hr0 = conv_fn(imgs_f, imgs_m)
 
@@ -176,9 +220,6 @@ def run_stage2_paired_sweep(
     jstd = np.zeros((S, 4, 4, 2))
     times = np.zeros(S)
 
-    kf_p, km_p, mask_p, rmask_p = _padded_keypoints(
-        kpts_fixed, kpts_moving, robust30
-    )
     sp_j = None if spacing is None else jnp.asarray(spacing, jnp.float32)
 
     compiled = {}
@@ -221,13 +262,21 @@ def run_stage2_paired_sweep(
 
                 return jax.vmap(variants)(snaps)  # (4 iters, 4 smooth, 4)
 
+            jit_kw = {} if mesh is None else dict(
+                in_shardings=(
+                    pair_sh, pair_sh, pair_sh, rep_sh,
+                    pair_sh, pair_sh, pair_sh, pair_sh,
+                ),
+                out_shardings=pair_sh,
+            )
             compiled[key] = jax.jit(
-                jax.vmap(one_pair, in_axes=(0, 0, 0, None, 0, 0, 0, 0))
+                jax.vmap(one_pair, in_axes=(0, 0, 0, None, 0, 0, 0, 0)),
+                **jit_kw,
             )
         mets = np.asarray(compiled[key](
             imgs_f, imgs_m, disps_hr0, jnp.float32(st.lambda_weight),
             kf_p, km_p, mask_p, rmask_p,
-        ))  # (P, 4 iters, 4 smooth, 4 metrics)
+        ))[:P]  # (P, 4 iters, 4 smooth, 4 metrics)
         tre[s] = mets[..., :2].mean(axis=0)
         jstd[s] = mets[..., 2:].mean(axis=0)
         times[s] = time.time() - t0

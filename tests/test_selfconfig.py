@@ -339,6 +339,53 @@ def test_paired_sweeps_end_to_end():
     assert res2.dice[res2.best, 0] < tre0
 
 
+def test_paired_sweeps_sharded_over_mesh_match_single_device():
+    """Paired sweeps fan the PAIR axis out over a mesh (the reference's
+    process-per-GPU parallelism as one SPMD program, like the semantic
+    engine); results must match the unmeshed run bitwise — including a
+    pair count that does not divide the shard count (3 pairs / 2 shards)
+    and ragged per-pair keypoint counts."""
+    from scipy.ndimage import uniform_filter
+
+    from convexadam_tpu.parallel.batch import make_sweep_mesh
+    from convexadam_tpu.selfconfig.paired import (
+        run_stage1_paired_sweep,
+        run_stage2_paired_sweep,
+    )
+    from convexadam_tpu.selfconfig.settings import Stage1PairedSetting
+
+    rng = np.random.default_rng(7)
+    shape = (30, 30, 30)
+    vols, movs, kfs, kms = [], [], [], []
+    sh = np.array([2, -1, 1], np.float32)
+    for i, n_kpt in enumerate((14, 9, 11)):
+        v = uniform_filter(
+            rng.standard_normal(shape).astype(np.float32), 2
+        ) * 100
+        vols.append(v)
+        movs.append(np.roll(v, (2, -1, 1), axis=(0, 1, 2)))
+        k = rng.random((n_kpt, 3)).astype(np.float32) * 12 + 8
+        kfs.append(k)
+        kms.append(k + sh)
+    imgs_f, imgs_m = np.stack(vols), np.stack(movs)
+    settings = [Stage1PairedSetting(mind_r=1, mind_d=2, grid_sp=3, disp_hw=2)]
+    adam = [Stage2Setting(grid_sp_adam=2, avg_n=2, lambda_weight=1.0)]
+
+    ref1 = run_stage1_paired_sweep(imgs_f, imgs_m, kfs, kms, settings)
+    ref2 = run_stage2_paired_sweep(imgs_f, imgs_m, kfs, kms, settings[0], adam)
+    mesh = make_sweep_mesh(n_setting=1, n_pair=2)
+    got1 = run_stage1_paired_sweep(
+        imgs_f, imgs_m, kfs, kms, settings, mesh=mesh
+    )
+    got2 = run_stage2_paired_sweep(
+        imgs_f, imgs_m, kfs, kms, settings[0], adam, mesh=mesh
+    )
+    np.testing.assert_allclose(got1.dice, ref1.dice, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(got1.jstd, ref1.jstd, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(got2.dice, ref2.dice, rtol=0, atol=1e-5)
+    assert got2.best == ref2.best
+
+
 def test_stage1_hd95_device_matches_host_loop():
     """hd95_mode='device' (surface point-set search inside the SPMD program) must
     reproduce the reference-style host EDT loop exactly.  Small volumes:

@@ -33,7 +33,12 @@ def main():
     )
     disp = convex_adam(vol, mov, cfg)
     out = pathlib.Path(__file__).parent / "golden_disp_48.npz"
-    np.savez_compressed(out, disp=disp.astype(np.float16), shift=shift, seed=seed)
+    # the input volume ships inside the fixture: the golden tests load it
+    # instead of re-deriving it, so this recipe cannot silently diverge
+    # from what the guard compares against
+    np.savez_compressed(
+        out, disp=disp.astype(np.float16), shift=shift, seed=seed, vol=vol
+    )
     print(f"wrote {out}")
 
 

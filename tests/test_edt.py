@@ -60,7 +60,7 @@ def test_all_foreground_maps_to_self(native):
     np.testing.assert_array_equal(idx[2], gd)
 
 
-def test_hd95_with_native_backend(native, rng):
+def test_hd95_with_native_backend(native, rng, monkeypatch):
     """metrics.hd95 must give identical results with the native EDT."""
     from convexadam_tpu.core import metrics
     from convexadam_tpu.utils import edt as edt_mod
@@ -70,13 +70,12 @@ def test_hd95_with_native_backend(native, rng):
     a[5:10, 5:15, 5:15] = 1
     b[8:13, 5:15, 5:15] = 1
 
-    # force scipy
-    edt_mod._native = False
+    # monkeypatch (not bare assignment) so a failure cannot leak the forced
+    # backend into the rest of the session
+    monkeypatch.setattr(edt_mod, "_native", False)  # force scipy
     ref = metrics.hd95(a, b, 1)
-    # force native
-    edt_mod._native = native
+    monkeypatch.setattr(edt_mod, "_native", native)  # force native
     ours = metrics.hd95(a, b, 1)
-    edt_mod._native = None  # reset autodetect
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
@@ -113,7 +112,8 @@ def test_hd95_device_matches_host(rng):
 
     def labels(seed):
         v = uniform_filter(
-            rng.standard_normal((24, 22, 20)).astype(np.float32), 5
+            np.random.default_rng(seed)
+            .standard_normal((24, 22, 20)).astype(np.float32), 5
         )
         return np.digitize(v, np.quantile(v, [0.2, 0.4, 0.6, 0.8])).astype(
             np.int32
@@ -279,7 +279,8 @@ def test_hd95_device_through_pallas_kernels_matches_host(rng, monkeypatch):
 
     def labels(seed):
         v = uniform_filter(
-            rng.standard_normal((18, 20, 22)).astype(np.float32), 5
+            np.random.default_rng(seed)
+            .standard_normal((18, 20, 22)).astype(np.float32), 5
         )
         return np.digitize(v, np.quantile(v, [0.3, 0.6, 0.85])).astype(
             np.int32

@@ -25,7 +25,7 @@ def test_dice_matches_torch(rng):
     np.testing.assert_allclose(ours, expected, rtol=1e-5)
 
 
-def test_hd95_identical_is_zero_and_missing_is_30(rng):
+def test_hd95_identical_is_one_and_missing_is_30(rng):
     seg = np.zeros((16, 16, 16), np.int32)
     seg[4:12, 4:12, 4:12] = 1
     out = metrics.hd95(seg, seg, num_labels=2)

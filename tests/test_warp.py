@@ -55,8 +55,19 @@ def test_grid_sample_matches_torch(rng, align_corners, padding_mode, mode):
     )[0].numpy()
 
     if mode == "nearest":
-        # rounding of exact .5 coordinates may differ; compare where not on a tie
-        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+        # rounding of near-.5 source coordinates may differ between torch
+        # and JAX — actually EXCLUDE those outputs from the comparison
+        H, W, D = vol.shape[1:]
+        dims = np.array([H, W, D], np.float64)
+        g = grid.astype(np.float64)
+        if align_corners:
+            v = (g + 1.0) * (dims - 1.0) / 2.0
+        else:
+            v = ((g + 1.0) * dims - 1.0) / 2.0
+        tie = (np.abs((v % 1.0) - 0.5) < 1e-4).any(axis=-1)  # (Hg, Wg, Dg)
+        ok = np.broadcast_to(~tie[None], ours.shape)
+        np.testing.assert_allclose(ours[ok], theirs[ok], atol=1e-5)
+        assert ok.mean() > 0.9  # the mask must not hide the comparison
     else:
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
 

@@ -148,8 +148,19 @@ def _dual_kernel(nq_ref, nt_ref, hq_ref, ht_ref, q_ref, t_ref,
     )
 
     @pl.when(j == 0)
-    def _init():
+    def _init_q():
         outq_ref[...] = jnp.full_like(outq_ref[...], _ACC_INIT)
+
+    # the per-target output is one VMEM-resident (1, Kt) accumulator
+    # (constant index map) rather than per-(j, i) slots: a (BT, 1) slot
+    # block is an illegal Mosaic tiling (lane dim 1 is neither the array
+    # dim nor 128-divisible), whereas lane-dim dynamic slices at
+    # 128-multiple offsets (j*bt) are fine.  Dead tiles simply skip the
+    # update (pads keep _ACC_INIT — same semantics as the old explicit
+    # dead-slot writes).
+    @pl.when((i == 0) & (j == 0))
+    def _init_t():
+        outt_ref[...] = jnp.full_like(outt_ref[...], _ACC_INIT)
 
     @pl.when(live)
     def _acc():
@@ -157,13 +168,10 @@ def _dual_kernel(nq_ref, nt_ref, hq_ref, ht_ref, q_ref, t_ref,
         outq_ref[...] = jnp.minimum(
             outq_ref[...], jnp.min(d2, axis=0)[None, :]
         )
-        # per-target partial for this query block: unique (j, i) slot,
-        # reduced across the query-block axis outside the kernel
-        outt_ref[...] = jnp.min(d2, axis=1)[:, None]  # (BT, 1)
-
-    @pl.when(jnp.logical_not(live))
-    def _dead():
-        outt_ref[...] = jnp.full_like(outt_ref[...], _ACC_INIT)
+        sl = pl.ds(j * bt, bt)
+        outt_ref[:, sl] = jnp.minimum(
+            outt_ref[:, sl], jnp.min(d2, axis=1)[None, :]
+        )
 
 
 @functools.partial(
@@ -210,11 +218,11 @@ def nearest_sq_dual_pallas(
         _dual_kernel, bf16=coords_bf16_exact, bq=bq, bt=bt
     )
     smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
-    outq, outt_part = pl.pallas_call(
+    outq, outt = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((1, kq), jnp.float32),
-            jax.ShapeDtypeStruct((kt, gi), jnp.float32),
+            jax.ShapeDtypeStruct((1, kt), jnp.float32),
         ),
         grid=(gi, gj),
         in_specs=[
@@ -224,11 +232,12 @@ def nearest_sq_dual_pallas(
         ],
         out_specs=(
             pl.BlockSpec((1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            # whole-array resident accumulator (see _dual_kernel)
+            pl.BlockSpec((1, kt), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(nq, nt, hq, ht, query, target)
-    return outq.reshape(kq), jnp.min(outt_part, axis=1)
+    return outq.reshape(kq), outt.reshape(kt)
 
 
 _DUAL_BATCHABLE_CACHE: dict = {}

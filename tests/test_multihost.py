@@ -53,6 +53,15 @@ def _reference_result():
 
 
 def test_two_process_sweep_matches_single_process(tmp_path):
+    import jax
+    import pytest
+
+    if jax.default_backend() != "cpu":
+        # the workers are pinned to JAX_PLATFORMS=cpu (no second TPU client
+        # can attach to the single tunnelled chip), so on a TPU-backend
+        # parent the bitwise comparison would be cross-backend; the DCN
+        # path's numerics arm is covered by the CPU suite.
+        pytest.skip("two-process DCN test compares CPU workers to a CPU run")
     coord = f"127.0.0.1:{_free_port()}"
     out = tmp_path / "mh_result.npz"
     env = {

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from convexadam_tpu.selfconfig import (
@@ -120,8 +121,6 @@ def test_sweep_sharded_over_mesh_matches_single_device():
     Runs on the 8 virtual CPU devices (conftest). Pads both axes (3 pairs
     over 4 pair-shards, 3 settings in batches of 2), so the
     padding-discard path is covered too."""
-    import jax
-
     from convexadam_tpu.parallel.batch import make_sweep_mesh
 
     if len(jax.devices()) < 8:
@@ -345,6 +344,9 @@ def test_paired_sweeps_sharded_over_mesh_match_single_device():
     engine); results must match the unmeshed run bitwise — including a
     pair count that does not divide the shard count (3 pairs / 2 shards)
     and ragged per-pair keypoint counts."""
+    if len(jax.devices()) < 2:
+        # mesh path is covered by the CPU suite's 8 virtual devices
+        pytest.skip("needs 2 devices (CPU conftest); real backend has 1 chip")
     from scipy.ndimage import uniform_filter
 
     from convexadam_tpu.parallel.batch import make_sweep_mesh
@@ -430,8 +432,6 @@ def test_hd95_batch_fn_variant_dims_and_mesh():
         _make_hd95_batch_fn(None, L)(jnp.asarray(gt), jnp.asarray(sw))
     )
     np.testing.assert_allclose(out, expected, atol=1e-5)
-
-    import jax
 
     if len(jax.devices()) < 4:
         # skip (not a silent pass) so single-chip runs report the mesh arm

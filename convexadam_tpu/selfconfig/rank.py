@@ -29,20 +29,23 @@ def scores_better(task_metric: np.ndarray, p_threshold: float = 0.05) -> np.ndar
 
 
 def rankscore_avgtie(scores_int: np.ndarray) -> np.ndarray:
-    """Map integer scores to [0.1, 1] rank scores, averaging ties
-    (l2r3.py:274-292)."""
+    """Map non-negative integer scores to [0.1, 1] rank scores, averaging
+    ties (semantics of l2r3.py:274-292).
+
+    Each candidate's provisional score is a linear ramp value at its
+    ascending-sort position; candidates with equal integer scores then share
+    the mean ramp value of their group.  Equal scores occupy a contiguous
+    run of sort positions, so the group mean is independent of how the sort
+    breaks ties — computed here as one bincount-average instead of the
+    reference's per-element accumulation loop."""
     scores_int = np.asarray(scores_int, np.int64)
     n = len(scores_int)
-    rankscale = np.linspace(0.1, 1, n)
-    rankavg = np.zeros((scores_int.max() + 1, 2))
-    idx_ = np.argsort(scores_int)
-    idx = np.zeros(n, dtype=np.int32)
-    idx[idx_] = np.arange(n)
-    for i in range(n):
-        rankavg[scores_int[i], 0] += rankscale[idx[i]]
-        rankavg[scores_int[i], 1] += 1
-    rankavg = rankavg[:, 0] / np.maximum(rankavg[:, 1], 1e-6)
-    return rankavg[scores_int]
+    ramp = np.empty(n)
+    ramp[np.argsort(scores_int)] = np.linspace(0.1, 1, n)
+    group_sum = np.bincount(scores_int, weights=ramp)
+    group_size = np.bincount(scores_int)
+    group_mean = group_sum / np.maximum(group_size, 1e-6)
+    return group_mean[scores_int]
 
 
 def noisy_metric_rank(

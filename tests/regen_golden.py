@@ -1,16 +1,29 @@
 """Regenerate the golden displacement fixture (run only for intentional
-behaviour changes): ``python -m tests.regen_golden``."""
+behaviour changes): ``python -m tests.regen_golden "<why>"``.
+
+The one-line WHY is mandatory (VERDICT r3 weak#5: each regeneration weakens
+the cross-round behaviour lock, so the motivating intentional change must be
+auditable).  It is embedded in the fixture itself and must also appear in the
+commit message that ships the new npz.
+"""
 
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import pathlib
+import sys
 
 import numpy as np
 
 
 def main():
+    if len(sys.argv) < 2 or not sys.argv[1].strip():
+        raise SystemExit(
+            "usage: python -m tests.regen_golden \"<one-line reason: which "
+            "intentional behaviour change motivates regenerating the golden>\""
+        )
+    why = sys.argv[1].strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -37,9 +50,10 @@ def main():
     # instead of re-deriving it, so this recipe cannot silently diverge
     # from what the guard compares against
     np.savez_compressed(
-        out, disp=disp.astype(np.float16), shift=shift, seed=seed, vol=vol
+        out, disp=disp.astype(np.float16), shift=shift, seed=seed, vol=vol,
+        why=np.array(why),
     )
-    print(f"wrote {out}")
+    print(f"wrote {out}\nwhy: {why}\n(quote this line in the commit message)")
 
 
 if __name__ == "__main__":

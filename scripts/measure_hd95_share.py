@@ -29,8 +29,12 @@ import numpy as np
 
 
 def make_fixture():
-    # same organ-like Voronoi labels as bench.bench_sweep (keep in sync so
-    # the numbers compose with BENCH_r03's settings/s metric)
+    # the round-3 Voronoi STRESS fixture (labels tile the whole volume —
+    # per-label surfaces 17k-37k points, adversarial for HD95).  bench.py's
+    # sweep metric moved to an organ-like sparse fixture at the reference
+    # shape (bench.make_sweep_fixture, round 4); this one is kept for the
+    # HD95-engine profiling scripts so their numbers stay comparable
+    # across rounds.
     from scipy.ndimage import zoom
 
     rng = np.random.default_rng(1)

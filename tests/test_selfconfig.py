@@ -428,20 +428,22 @@ def test_hd95_batch_fn_variant_dims_and_mesh():
                         gt[p], sw[g, p, a, b].astype(np.int32), L
                     ).mean()
 
-    out = np.asarray(
-        _make_hd95_batch_fn(None, L)(jnp.asarray(gt), jnp.asarray(sw))
+    out_hd, out_ov = _make_hd95_batch_fn(None, L)(
+        jnp.asarray(gt), jnp.asarray(sw)
     )
-    np.testing.assert_allclose(out, expected, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_hd), expected, atol=1e-5)
+    assert not np.asarray(out_ov).any()  # default caps cover these volumes
 
     if len(jax.devices()) < 4:
         # skip (not a silent pass) so single-chip runs report the mesh arm
         # as NOT covered; the 8-virtual-device CPU suite covers it
         pytest.skip("mesh arm needs >= 4 devices (host-loop arm passed)")
     mesh = make_sweep_mesh(n_setting=2, n_pair=2)
-    out_m = np.asarray(
-        _make_hd95_batch_fn(mesh, L)(jnp.asarray(gt), jnp.asarray(sw))
+    out_m, ov_m = _make_hd95_batch_fn(mesh, L)(
+        jnp.asarray(gt), jnp.asarray(sw)
     )
-    np.testing.assert_allclose(out_m, expected, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_m), expected, atol=1e-5)
+    assert not np.asarray(ov_m).any()
 
 
 def test_hd95_label_groups_match_single_bucket():
@@ -462,9 +464,48 @@ def test_hd95_label_groups_match_single_bucket():
     out_g = np.asarray(
         _make_hd95_batch_fn(
             None, L, label_groups=groups, global_surface=kg
-        )(jnp.asarray(gt), jnp.asarray(sw))
+        )(jnp.asarray(gt), jnp.asarray(sw))[0]
     )
     out_s = np.asarray(
-        _make_hd95_batch_fn(None, L)(jnp.asarray(gt), jnp.asarray(sw))
+        _make_hd95_batch_fn(None, L)(jnp.asarray(gt), jnp.asarray(sw))[0]
     )
     np.testing.assert_allclose(out_g, out_s, atol=1e-6)
+
+
+def test_stage1_sweep_overflow_rescored_exactly():
+    """A warped surface exceeding the GT-sized HD95 caps must be VISIBLE
+    (RuntimeWarning) and the flagged cases re-scored exactly: the device
+    sweep's hd95 then equals the host-EDT sweep bit-for-bit even with
+    adversarially small caps (VERDICT r3 weak#2 / next#3)."""
+    import convexadam_tpu.selfconfig.engine as eng
+    from convexadam_tpu.selfconfig.settings import Stage1Setting
+
+    rng = np.random.default_rng(11)
+    shape, L = (16, 16, 16), 2
+    segs = rng.integers(0, L + 1, (2,) + shape).astype(np.int32)
+    preds = segs.copy()
+    pairs = [(0, 1)]
+    settings = [Stage1Setting(nn_mult=5.0, grid_sp=2, disp_hw=1)]
+
+    res_host = run_stage1_sweep(
+        preds, segs, pairs, settings, num_labels=L, hd95_mode="host"
+    )
+
+    orig = eng._suggest_label_groups
+
+    def tiny_groups(segs_np, num_labels):
+        groups, kg = orig(segs_np, num_labels)
+        return [(tuple(range(1, num_labels + 1)), 8)], kg  # far too small
+
+    eng._suggest_label_groups = tiny_groups
+    eng._HD95_FN_CACHE.clear()
+    try:
+        with pytest.warns(RuntimeWarning, match="cap overflow"):
+            res_dev = run_stage1_sweep(
+                preds, segs, pairs, settings, num_labels=L,
+                hd95_mode="device",
+            )
+    finally:
+        eng._suggest_label_groups = orig
+        eng._HD95_FN_CACHE.clear()
+    np.testing.assert_allclose(res_dev.hd95, res_host.hd95, atol=1e-5)

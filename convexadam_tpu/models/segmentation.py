@@ -223,11 +223,18 @@ def load_pretrained_unet3d(name: str = "unet3d_prostate_adc"):
     ``num_classes``, ``channels``, ``patch_size`` and the expected input
     ``normalization`` ("zscore": feed ``(v - v.mean()) / v.std()``).
 
-    The shipped ``unet3d_prostate_adc`` checkpoint is trained on the real
-    prostate ADC case from the reference snapshot (regeneration recipe:
-    ``python -m tests.regen_unet_checkpoint``) — a demonstrated end-to-end
-    path from raw images to the *imperfect* ``predictedlabels`` regime the
-    reference consumes from disk (main_for_l2r3_nnUNet.py:76-80).
+    Shipped checkpoints (regen recipes under ``tests/``):
+
+    * ``unet3d_prostate_adc`` — single-case overfit on the snapshot's real
+      prostate ADC (``python -m tests.regen_unet_checkpoint``);
+    * ``unet3d_prostate_multi`` — trained across 10 cases (ADC + HBV
+      contrasts x {identity + 4 smooth deformations}) and validated on a
+      held-out deformation of each contrast
+      (``python -m tests.regen_unet_multicase``).
+
+    Both demonstrate the end-to-end path from raw images to the
+    *imperfect* ``predictedlabels`` regime the reference consumes from
+    disk (main_for_l2r3_nnUNet.py:76-80).
     """
     import json
     import pathlib

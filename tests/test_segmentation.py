@@ -198,3 +198,29 @@ def test_train_save_load_predict_roundtrip(tmp_path):
     inter = np.sum((lab_a == 1) & (segs[0] == 1))
     dice = 2 * inter / ((lab_a == 1).sum() + (segs[0] == 1).sum() + 1e-8)
     assert dice > 0.8, dice
+
+
+def test_pretrained_multicase_checkpoint_generalizes():
+    """The multi-case checkpoint (models/checkpoints/unet3d_prostate_multi,
+    tests/regen_unet_multicase.py: ADC + HBV x {identity + 4 deformations},
+    10 cases) must segment a HELD-OUT deformation of each contrast — a
+    deformation seed never seen in training — proving the trainer learned
+    across cases instead of memorizing one volume (VERDICT r3 next#7; the
+    consumption contract is main_for_l2r3_nnUNet.py:76-80)."""
+    from convexadam_tpu.models.segmentation import (
+        load_pretrained_unet3d,
+        sliding_window_predict,
+    )
+
+    from tests.regen_unet_multicase import holdout_cases
+
+    predictor, meta = load_pretrained_unet3d("unet3d_prostate_multi")
+    assert meta["normalization"] == "zscore"
+    assert "10 cases" in meta["trained_on"]
+
+    for img, gt in holdout_cases():
+        pred = sliding_window_predict(predictor, img, meta["patch_size"])
+        inter = np.sum((pred == 1) & (gt == 1))
+        dice = 2 * inter / ((pred == 1).sum() + (gt == 1).sum() + 1e-8)
+        assert dice > 0.7, f"held-out deformation dice too low: {dice}"
+        assert (pred != gt).any(), "suspiciously perfect"

@@ -82,9 +82,9 @@ def make_sweep_fixture(
         lab = np.where(take, i, lab)
         score = np.maximum(score, s)
     lab = np.where(score > 0, lab, 0)
+    v = zoom(lab, (H / ch, W / cw, D / cd), order=0).astype(np.int32)
     segs = []
     for k in range(n_vols):
-        v = zoom(lab, (H / ch, W / cw, D / cd), order=0).astype(np.int32)
         sh = (int(rng.integers(-5, 6)), int(rng.integers(-5, 6)),
               int(rng.integers(-5, 6)))
         segs.append(np.roll(v, sh, axis=(0, 1, 2)))

@@ -837,7 +837,8 @@ def hd95_device_sized(
     volumes (:func:`suggest_hd95_caps`) and per-size label buckets — no
     silent truncation at any scale, small organs pay small K x K searches.
     Use for per-case evaluation where both segmentations are host arrays;
-    the sweep engine keeps its own GT-sized batched path."""
+    the sweep engine keeps its own GT-sized batched path.  Same 1024-per-
+    axis extent limit as :func:`hd95_device` (packed int32 coordinates)."""
     groups, global_cap = suggest_hd95_caps(seg_fixed, seg_moving, num_labels)
     shape = tuple(jnp.shape(seg_fixed))
     return _hd95_bucketed(
@@ -869,7 +870,10 @@ def hd95_device(
     loop) with the reference's semantics (convexAdam_hyper_util.py:32-51);
     exact as long as no single label surface exceeds ``max_surface`` voxels
     and the union of all label surfaces fits ``global_surface`` (default
-    ``4 * max_surface``).  The default is exact for volumes up to 64k
+    ``4 * max_surface``).  Volume extents are limited to 1024 per axis by
+    the packed int32 (z<<20 | y<<10 | x) surface-coordinate row
+    (:func:`surface_lists` raises beyond that); fall back to the host
+    :func:`~convexadam_tpu.core.metrics.hd95` for larger grids.  The default is exact for volumes up to 64k
     voxels (K = |volume|) and caps K at 65536 beyond that — a 192^3 organ
     surface is ~60k voxels, so anatomy fits; an overflowing surface is
     truncated to its first K voxels in raster order (the percentile sees a

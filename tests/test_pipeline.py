@@ -211,7 +211,7 @@ def test_golden_regression():
     deterministic case must stay within tolerance of the stored golden field
     (the reference's golden-output SSIM test analogue,
     tests/test_convex_adam_mind.py:45-85; regenerate with
-    `python -m tests.regen_golden` only for intentional behaviour changes)."""
+    `python -m tests.regen_golden "<why>"` only for intentional behaviour changes)."""
     import pathlib
 
     golden = np.load(pathlib.Path(__file__).parent / "golden_disp_48.npz")

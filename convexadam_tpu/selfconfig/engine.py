@@ -394,6 +394,19 @@ def _rescore_overflows(
 # mesh fan-out helpers
 # ---------------------------------------------------------------------------
 
+def _resolve_hd95_mode(hd95_mode, shape, backend: str) -> str:
+    """Default HD95 evaluation mode: the on-device surface engine on TPU,
+    the scipy/C++ EDT host loop elsewhere — and host whenever an axis
+    extent exceeds the device engine's packed-int32 coordinate limit
+    (1024/axis, core/edt.py:surface_lists).  An EXPLICIT "device" request
+    is honoured as-is (surface_lists raises loudly past the limit)."""
+    if hd95_mode is not None:
+        return hd95_mode
+    if backend == "tpu" and max(shape) <= 1024:
+        return "device"
+    return "host"
+
+
 def _mesh_factors(mesh: Optional[Mesh]) -> tuple[int, int]:
     """(n_setting_shards, n_pair_shards) of a sweep mesh; (1, 1) if None."""
     if mesh is None:
@@ -585,8 +598,9 @@ def run_stage1_sweep(
         )
 
     compiled = {}  # (grid_sp, disp_hw) → compiled fn
-    if hd95_mode is None:
-        hd95_mode = "device" if jax.default_backend() == "tpu" else "host"
+    hd95_mode = _resolve_hd95_mode(
+        hd95_mode, segs_np.shape[1:], jax.default_backend()
+    )
     hd95_fn = None
     if compute_hd95 and hd95_mode == "device":
         label_groups, k_global = _suggest_label_groups(segs_np, num_labels)
@@ -866,8 +880,9 @@ def run_stage2_sweep(
         )
 
     compiled = {}
-    if hd95_mode is None:
-        hd95_mode = "device" if jax.default_backend() == "tpu" else "host"
+    hd95_mode = _resolve_hd95_mode(
+        hd95_mode, segs_np.shape[1:], jax.default_backend()
+    )
     hd95_fn = None
     if compute_hd95 and hd95_mode == "device":
         label_groups, k_global = _suggest_label_groups(segs_np, num_labels)

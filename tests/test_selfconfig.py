@@ -509,3 +509,18 @@ def test_stage1_sweep_overflow_rescored_exactly():
         eng._suggest_label_groups = orig
         eng._HD95_FN_CACHE.clear()
     np.testing.assert_allclose(res_dev.hd95, res_host.hd95, atol=1e-5)
+
+
+def test_hd95_mode_resolution_respects_extent_limit():
+    """The None-default HD95 mode picks the device engine only when every
+    axis extent fits its packed-int32 coordinate row (1024/axis,
+    core/edt.py:surface_lists) — oversized grids fall back to the host EDT
+    loop instead of crashing mid-sweep; an explicit "device" request is
+    honoured (surface_lists raises loudly)."""
+    from convexadam_tpu.selfconfig.engine import _resolve_hd95_mode
+
+    assert _resolve_hd95_mode(None, (192, 160, 256), "tpu") == "device"
+    assert _resolve_hd95_mode(None, (1040, 64, 64), "tpu") == "host"
+    assert _resolve_hd95_mode(None, (64, 64, 64), "cpu") == "host"
+    assert _resolve_hd95_mode("device", (1040, 64, 64), "tpu") == "device"
+    assert _resolve_hd95_mode("host", (64, 64, 64), "tpu") == "host"

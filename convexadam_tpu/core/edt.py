@@ -51,6 +51,14 @@ def _pallas_enabled() -> bool:
 _SENTINEL = jnp.int32(2**30)  # "no seed known" squared distance
 _REL_SENT = 8192  # sentinel relative offset: 3*(8192+512)^2 < 2^31
 
+#: Per-axis volume extent limit of the surface point-set HD95 engine: label
+#: buffers move coordinates as ONE packed int32 row (z<<20 | y<<10 | x, see
+#: :func:`label_buffers`), so each axis gets 10 bits.  Shared by
+#: :func:`surface_lists` (raises beyond it), the sweep engine's mode
+#: resolution (selfconfig/engine.py:_resolve_hd95_mode) and the L2R
+#: evaluator's host fallback (selfconfig/l2r.py:evaluate_field).
+MAX_PACKED_EXTENT = 1024
+
 
 def _jump_schedule(max_dim: int) -> "list[int]":
     """1+JFA+1: an extra 1-jump pass before and after the halving sequence
@@ -227,13 +235,62 @@ def _nearest_sq(
                     query.T, tc, preferred_element_type=jnp.float32
                 )
         d2 = q_norm[:, None] + t_norm[None, :] - 2.0 * cross
-        return jnp.minimum(best, jnp.min(d2, axis=1)), None
+        return jnp.minimum(best, jnp.min(d2, axis=1))
 
     # derive the init from the data so it carries the same manual-sharding
-    # ("varying") type as the scan outputs under shard_map
+    # ("varying") type as the loop outputs under shard_map
     best0 = jnp.zeros_like(q_norm) + jnp.float32(4.0 * _COORD_PAD * _COORD_PAD)
-    best, _ = lax.scan(body, best0, t)
+    if n_target is None:
+        best, _ = lax.scan(lambda b, tc: (body(b, tc), None), best0, t)
+        return best
+
+    # skip-aware fallback (the Pallas path above skips dead blocks in its
+    # grid): bound the trip count by the LIVE target count — chunks
+    # entirely past n_target are all-pad and cannot win, so the CPU engine
+    # and the CONVEXADAM_HD95_PALLAS=0 kill switch stop paying full K^2
+    nt = jnp.asarray(n_target, jnp.int32)
+
+    def cond(st):
+        c, _ = st
+        return c * chunk < nt
+
+    def wbody(st):
+        c, best = st
+        return c + 1, body(best, lax.dynamic_index_in_dim(t, c, keepdims=False))
+
+    _, best = lax.while_loop(cond, wbody, (jnp.int32(0), best0))
     return best
+
+
+def _pruned_search_enabled(K: int) -> bool:
+    """Whether :func:`hd95_from_buffers` uses the bucketed-grid pruned
+    Pallas search (ops/edt_pallas.py:nearest_sq_pruned_pallas) — the TPU
+    default; the CONVEXADAM_HD95_PALLAS=0 kill switch and non-128-multiple
+    buffers fall back to the shared-tile dual pass."""
+    return (
+        jax.default_backend() == "tpu" and K % 128 == 0 and _pallas_enabled()
+    )
+
+
+def _nearest_sq_pruned(
+    query: jax.Array,
+    target: jax.Array,
+    q_lo: jax.Array,
+    q_hi: jax.Array,
+    n_target: jax.Array,
+    coords_bf16_exact: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    """Thin dispatch to the pruned kernel (kept as a module attribute so
+    tests can monkeypatch it to interpret mode off-TPU)."""
+    from convexadam_tpu.ops.edt_pallas import (  # noqa: PLC0415
+        nearest_sq_pruned_pallas_batchable,
+    )
+
+    return nearest_sq_pruned_pallas_batchable(
+        query, target, q_lo, q_hi, n_target,
+        coords_bf16_exact=coords_bf16_exact, interpret=interpret,
+    )
 
 
 def _nearest_sq_dual(
@@ -271,9 +328,17 @@ def _nearest_sq_dual(
             query, target, n_query, n_target, head_query, head_target,
             coords_bf16_exact=coords_bf16_exact,
         )
+    # two independent skip-aware passes; each direction's trip count is
+    # bounded by ITS live target count (the other set's true size)
     return (
-        _nearest_sq(query, target, coords_bf16_exact=coords_bf16_exact),
-        _nearest_sq(target, query, coords_bf16_exact=coords_bf16_exact),
+        _nearest_sq(
+            query, target, coords_bf16_exact=coords_bf16_exact,
+            n_target=n_target,
+        ),
+        _nearest_sq(
+            target, query, coords_bf16_exact=coords_bf16_exact,
+            n_target=n_query,
+        ),
     )
 
 
@@ -321,10 +386,11 @@ def surface_lists(
     surface voxel of every label has a differing face neighbour), plus the
     packed-word neighbour gather and per-label voxel counts."""
     H, W, D = seg_fixed.shape
-    if max(H, W, D) > 1024:
+    if max(H, W, D) > MAX_PACKED_EXTENT:
         raise ValueError(
-            f"surface_lists supports dims <= 1024 (got {(H, W, D)}): "
-            "label_buffers packs coordinates as 10-bit fields"
+            f"surface_lists supports dims <= {MAX_PACKED_EXTENT} "
+            f"(got {(H, W, D)}): label_buffers packs coordinates as "
+            "10-bit fields"
         )
     N = H * W * D
     Kg = min(N, 262144) if global_surface is None else min(N, global_surface)
@@ -481,9 +547,14 @@ def label_buffers(
     labs_iota = jnp.arange(num_labels + 1, dtype=jnp.int16)
 
     def pack(gc):
-        """(3, K) integer-valued f32 coords → (K,) packed int32.  Exact for
-        dims <= 1024 (surface_lists asserts); pad rows clamp to 1023 and are
-        only ever written through dropped scatter targets."""
+        """(3, K) integer-valued f32 coords → (K,) packed int32.
+
+        PRECONDITION: real coords lie in [0, MAX_PACKED_EXTENT) —
+        surface_lists raises beyond it, and :func:`caps_overflow` audits
+        the range on device for any other SurfaceLists producer (the clamp
+        here would otherwise corrupt silently).  Pad rows (_COORD_PAD)
+        clamp to 1023 and are only ever written through dropped scatter
+        targets."""
         c = jnp.clip(gc.astype(jnp.int32), 0, 1023)
         return (c[0] << 20) | (c[1] << 10) | c[2]
 
@@ -581,21 +652,40 @@ def caps_overflow(
     label_caps: "tuple[int, ...]",
 ) -> jax.Array:
     """Scalar bool: True when ANY buffer silently truncated — a label's
-    true inner-surface or outer-shell count exceeds its cap, or a volume's
+    true inner-surface or outer-shell count exceeds its cap, a volume's
     true boundary-voxel count exceeds the global list capacity (upstream
-    truncation makes even the per-label counts unreliable).  The sweep
-    engine sizes caps from GT surfaces with finite slack
+    truncation makes even the per-label counts unreliable), or a surface
+    coordinate falls outside the packed-int32 range (label_buffers' pack
+    clamps to [0, MAX_PACKED_EXTENT); surface_lists guards the extent, but
+    a foreign SurfaceLists producer would otherwise corrupt silently).
+    The sweep engine sizes caps from GT surfaces with finite slack
     (selfconfig/engine.py:_suggest_label_groups); this flag is how an
     outgrown warped surface becomes visible instead of quietly biasing the
-    percentile (VERDICT r3 weak#2)."""
+    percentile (VERDICT r3 weak#2).
+
+    Every non-background label is audited regardless of its cap: a real
+    label accidentally given cap 0 flags (its surface count exceeds 0)
+    instead of truncating invisibly; only label 0 — background, never
+    buffered — is exempt."""
     capv = jnp.asarray(label_caps, jnp.int32)
     per_label = jnp.maximum(
         jnp.maximum(bufs.n_inner_f, bufs.n_inner_m),
         jnp.maximum(bufs.n_outer_f, bufs.n_outer_m),
     )
-    over_lab = jnp.any((per_label > capv) & (capv > 0))
+    over_lab = jnp.any(per_label[1:] > capv[1:])
     kg = pre.gc_f.shape[1]
-    return over_lab | (pre.n_total_f > kg) | (pre.n_total_m > kg)
+
+    def coords_bad(gc):
+        real = gc[0] != _COORD_PAD
+        return jnp.any(
+            real & jnp.any((gc < 0) | (gc >= MAX_PACKED_EXTENT), axis=0)
+        )
+
+    return (
+        over_lab
+        | (pre.n_total_f > kg) | (pre.n_total_m > kg)
+        | coords_bad(pre.gc_f) | coords_bad(pre.gc_m)
+    )
 
 
 def hd95_from_buffers(
@@ -644,25 +734,47 @@ def hd95_from_buffers(
         # queries INSIDE this volume's mask (the buffer's head segment)
         # need its outer shell, queries outside (the tail segment) its
         # inner surface — the segment boundary drives block skipping and a
-        # positional select.  The inner x inner distance block is SHARED:
-        # direction 1 takes its row minima and direction 2 its column
-        # minima from one pass, and only its (outside_m rows | outside_f
-        # cols) sub-blocks are live — a label costs
-        # n_m*n_f - in_m*in_f + in_m*n_out_f + in_f*n_out_m cells instead
-        # of 4 K^2.
-        d_in_m, d_in_f = _nearest_sq_dual(
-            ci_m, ci_f, coords_bf16_exact=bf16ok,
-            n_query=n_m, n_target=n_f,
-            head_query=in_m, head_target=in_f,
-        )
-        d_out_m = _nearest_sq(
-            ci_m, co_f, coords_bf16_exact=bf16ok,
-            n_query=in_m, n_target=bufs.n_outer_f[lab],
-        )
-        d_out_f = _nearest_sq(
-            ci_f, co_m, coords_bf16_exact=bf16ok,
-            n_query=in_f, n_target=bufs.n_outer_m[lab],
-        )
+        # positional select.
+        if _pruned_search_enabled(K):
+            # bucketed-grid pruned search (ops/edt_pallas.py): each of the
+            # four direction/segment searches walks target blocks in bbox
+            # proximity order with an exact early exit — for the HD95
+            # regime (matching surfaces a few voxels apart) it touches
+            # O(1) target slabs per query slab instead of the full K x K
+            # sweep, so pruning replaces the shared-tile dual pass
+            zero = jnp.int32(0)
+            d_in_m = _nearest_sq_pruned(
+                ci_m, ci_f, in_m, jnp.minimum(n_m, K), n_f, bf16ok
+            )
+            d_in_f = _nearest_sq_pruned(
+                ci_f, ci_m, in_f, jnp.minimum(n_f, K), n_m, bf16ok
+            )
+            d_out_m = _nearest_sq_pruned(
+                ci_m, co_f, zero, in_m, bufs.n_outer_f[lab], bf16ok
+            )
+            d_out_f = _nearest_sq_pruned(
+                ci_f, co_m, zero, in_f, bufs.n_outer_m[lab], bf16ok
+            )
+        else:
+            # shared inner x inner distance block: direction 1 takes its
+            # row minima and direction 2 its column minima from one pass,
+            # and only its (outside_m rows | outside_f cols) sub-blocks
+            # are live — a label costs
+            # n_m*n_f - in_m*in_f + in_m*n_out_f + in_f*n_out_m cells
+            # instead of 4 K^2
+            d_in_m, d_in_f = _nearest_sq_dual(
+                ci_m, ci_f, coords_bf16_exact=bf16ok,
+                n_query=n_m, n_target=n_f,
+                head_query=in_m, head_target=in_f,
+            )
+            d_out_m = _nearest_sq(
+                ci_m, co_f, coords_bf16_exact=bf16ok,
+                n_query=in_m, n_target=bufs.n_outer_f[lab],
+            )
+            d_out_f = _nearest_sq(
+                ci_f, co_m, coords_bf16_exact=bf16ok,
+                n_query=in_f, n_target=bufs.n_outer_m[lab],
+            )
 
         def directed(d_in, d_out, n_inside, n_q):
             """p95 of dist-to-nearest-opposite-class-of-other over the

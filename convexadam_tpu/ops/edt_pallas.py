@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ACC_INIT = 4.0 * 8192.0 * 8192.0  # > any real padded distance (see edt._COORD_PAD)
+_COORD_PAD = 8192.0  # mirrors edt._COORD_PAD (circular-import-free)
 
 
 def _block_d2(q, t, bf16):
@@ -238,6 +239,197 @@ def nearest_sq_dual_pallas(
         interpret=interpret,
     )(nq, nt, hq, ht, query, target)
     return outq.reshape(kq), outt.reshape(kt)
+
+
+def _pruned_kernel(lo_ref, hi_ref, perm_ref, dmin_ref, q_ref, t_ref,
+                   out_ref, *, bf16: bool, bq: int, bt: int, gj: int):
+    """One query block against target blocks in PROXIMITY order with an
+    exact bound-based early exit (see :func:`nearest_sq_pruned_pallas`)."""
+    i = pl.program_id(0)
+    lo = lo_ref[0, 0]
+    hi = hi_ref[0, 0]
+    idx = i * bq + lax.broadcasted_iota(jnp.int32, (1, bq), 1)
+    meaningful = (idx >= lo) & (idx < hi)
+    out_ref[...] = jnp.full((1, bq), _ACC_INIT, jnp.float32)
+    live_q = (i * bq < hi) & ((i + 1) * bq > lo)
+
+    @pl.when(live_q)
+    def _run():
+        q = q_ref[...]
+
+        def cond(st):
+            j, bound = st
+            # dmin is ascending: the first rank whose bbox lower bound
+            # exceeds the running max-of-mins ends the walk EXACTLY (no
+            # later block can improve any meaningful query).  The read is
+            # clamped because & does not short-circuit: at j == gj the
+            # conjunction is already False, but the ref access must stay
+            # in bounds.
+            d = dmin_ref[0, 0, jnp.minimum(j, gj - 1)]
+            return (j < gj) & (d <= bound)
+
+        def body(st):
+            j, bound = st
+            jj = perm_ref[0, 0, j]
+            d2 = _block_d2(q, t_ref[jj], bf16)  # (bt, bq)
+            cur = jnp.minimum(
+                out_ref[...], jnp.min(d2, axis=0)[None, :]
+            )
+            out_ref[...] = cur
+            # bound over MEANINGFUL queries only: dead/pad entries hold
+            # _ACC_INIT forever and would disable pruning
+            bound = jnp.max(jnp.where(meaningful, cur, -1.0))
+            return j + 1, bound
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(_ACC_INIT)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("coords_bf16_exact", "interpret", "bq", "bt")
+)
+def nearest_sq_pruned_pallas(
+    query: jax.Array,
+    target: jax.Array,
+    q_lo: jax.Array,
+    q_hi: jax.Array,
+    n_target: jax.Array,
+    coords_bf16_exact: bool = False,
+    interpret: bool = False,
+    bq: "int | None" = None,
+    bt: "int | None" = None,
+) -> jax.Array:
+    """Bucketed-grid exact nearest-neighbour search: per query point in
+    ``[q_lo, q_hi)``, min squared distance to the live targets.
+
+    The quadratic tile sweep of :func:`nearest_sq_pallas` pays every
+    (query block x target block) tile.  Surface buffers are raster-ordered
+    (core/edt.py:label_buffers scatters by raster rank), so a block of
+    consecutive points is a spatially compact z-slab — its axis-aligned
+    bounding box gives an EXACT lower bound on any cross-block point
+    distance.  Per query block this precomputes (in XLA, cheap) the bbox
+    min-squared-distance to every target block and its ascending order;
+    the kernel then walks target blocks in that order, maintaining the
+    block's max-of-current-mins as an upper bound, and stops at the first
+    rank whose bbox bound exceeds it — every later block is provably
+    unable to improve any query.  For closely matching surfaces (the HD95
+    regime: warped vs fixed organ boundaries a few voxels apart) this
+    visits O(1) target slabs per query slab instead of all of them.
+
+    The whole target set stays VMEM-resident ((Gj, 3, bt) with a constant
+    index map, <= 3 MB at the 262144-point engine cap), so visited tiles
+    are pure MXU/VPU compute — the walk order is data-dependent, which a
+    BlockSpec index map cannot express.
+
+    ``query``/``target``: (3, K) f32, K a multiple of ``bq``/``bt``
+    (pads = _COORD_PAD sort behind every live block and never win a min).
+    Entries outside ``[q_lo, q_hi)`` are NOT meaningful (callers mask
+    them); target blocks entirely at or past ``n_target`` are skipped.
+    Exactness matches :func:`nearest_sq_pallas` bitwise: identical
+    ``_block_d2`` tiles, and min is order-independent.
+    """
+    _, kq = query.shape
+    _, kt = target.shape
+    bq = _pick_block(kq, 512) if bq is None else bq
+    bt = _pick_block(kt, 512) if bt is None else bt
+    gi, gj = kq // bq, kt // bt
+
+    big = jnp.float32(2.0 * _COORD_PAD)
+
+    def boxes(pts, nb, b):
+        p = pts.reshape(3, nb, b)
+        real = p[0:1] < _COORD_PAD  # pads sit at exactly _COORD_PAD
+        mn = jnp.min(jnp.where(real, p, big), axis=2)
+        mx = jnp.max(jnp.where(real, p, -big), axis=2)
+        return mn, mx
+
+    qmn, qmx = boxes(query, gi, bq)
+    tmn, tmx = boxes(target, gj, bt)
+    gap = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            qmn[:, :, None] - tmx[:, None, :],
+            tmn[:, None, :] - qmx[:, :, None],
+        ),
+    )
+    dmin = jnp.sum(gap * gap, axis=0)  # (Gi, Gj)
+    # blocks entirely past the live target count are dead even though their
+    # leading entries may be real (overflow truncation keeps them out);
+    # all-pad blocks already carry a huge bbox gap
+    dead_t = (jnp.arange(gj, dtype=jnp.int32) * bt) >= jnp.asarray(
+        n_target, jnp.int32
+    )
+    dmin = jnp.where(dead_t[None, :], jnp.float32(3.0e38), dmin)
+    order = jnp.argsort(dmin, axis=1).astype(jnp.int32)  # (Gi, Gj)
+    dsort = jnp.take_along_axis(dmin, order, axis=1)
+    # SMEM rows ride as (Gi, 1, Gj) with (1, 1, Gj) blocks: Mosaic requires
+    # each of the last two block dims to be (8,128)-divisible OR equal to
+    # the array dim — a (1, Gj) row of a (Gi, Gj) array satisfies neither
+    # in dim -2 (observed lowering failure on-chip)
+    order = order[:, None, :]
+    dsort = dsort[:, None, :]
+    t3 = target.reshape(3, gj, bt).transpose(1, 0, 2)  # (Gj, 3, bt)
+
+    def scal(v):
+        return jnp.asarray(v, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _pruned_kernel, bf16=coords_bf16_exact, bq=bq, bt=bt, gj=gj
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, kq), jnp.float32),
+        grid=(gi,),
+        in_specs=[
+            smem11, smem11,
+            pl.BlockSpec(
+                (1, 1, gj), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, gj), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((3, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (gj, 3, bt), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(scal(q_lo), scal(q_hi), order, dsort, query, t3)
+    return out.reshape(kq)
+
+
+_PRUNED_BATCHABLE_CACHE: dict = {}
+
+
+def nearest_sq_pruned_pallas_batchable(
+    query: jax.Array,
+    target: jax.Array,
+    q_lo: jax.Array,
+    q_hi: jax.Array,
+    n_target: jax.Array,
+    coords_bf16_exact: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """vmap-safe wrapper for :func:`nearest_sq_pruned_pallas` (sequential
+    map — the default batching rule would prepend the batch to the grid)."""
+    from convexadam_tpu.ops.warp_pallas import make_sequential_vmap
+
+    key = (coords_bf16_exact, interpret)
+    if key not in _PRUNED_BATCHABLE_CACHE:
+        _PRUNED_BATCHABLE_CACHE[key] = make_sequential_vmap(
+            lambda q, t, lo, hi, nt: nearest_sq_pruned_pallas(
+                q, t, lo, hi, nt,
+                coords_bf16_exact=coords_bf16_exact, interpret=interpret,
+            )
+        )
+    return _PRUNED_BATCHABLE_CACHE[key](
+        query, target,
+        jnp.asarray(q_lo, jnp.int32), jnp.asarray(q_hi, jnp.int32),
+        jnp.asarray(n_target, jnp.int32),
+    )
 
 
 _DUAL_BATCHABLE_CACHE: dict = {}

@@ -358,16 +358,21 @@ def _rescore_overflows(
     segs_np: np.ndarray,
     fi: np.ndarray,
     num_labels: int,
-) -> None:
+) -> tuple[int, float]:
     """Re-score every flagged (setting, pair[, variant]) entry of
     ``hd_batch`` in place (pair is axis 1, indexing ``fi``).  Under a
     multi-process runtime the warped segs are not host-addressable — warn
-    and keep the (possibly truncated) device values."""
+    and keep the (possibly truncated) device values.
+
+    Returns ``(n_rescored, seconds)`` so sweeps can surface the fallback's
+    cost in their result object (it runs OUTSIDE the timed window — the
+    per-setting times and the bench headline exclude the ~17 MB/s volume
+    downloads — making overflow runs auditable, not invisible)."""
     import warnings  # noqa: PLC0415
 
     idxs = np.argwhere(overflow)
     if idxs.size == 0:
-        return
+        return 0, 0.0
     if is_multiprocess():
         warnings.warn(
             f"HD95 cap overflow on {len(idxs)} sweep case(s); exact rescore "
@@ -376,18 +381,20 @@ def _rescore_overflows(
             RuntimeWarning,
             stacklevel=3,
         )
-        return
+        return 0, 0.0
     warnings.warn(
         f"HD95 cap overflow on {len(idxs)} sweep case(s) — warped surfaces "
         "outgrew the GT-sized buffers; re-scoring those cases exactly",
         RuntimeWarning,
         stacklevel=3,
     )
+    t0 = time.time()
     for idx in idxs:
         t = tuple(int(v) for v in idx)
         hd_batch[t] = _exact_hd95_rescore(
             segs_np[fi[t[1]]], seg_warped_dev[t], num_labels
         )
+    return len(idxs), time.time() - t0
 
 
 # ---------------------------------------------------------------------------
@@ -398,11 +405,14 @@ def _resolve_hd95_mode(hd95_mode, shape, backend: str) -> str:
     """Default HD95 evaluation mode: the on-device surface engine on TPU,
     the scipy/C++ EDT host loop elsewhere — and host whenever an axis
     extent exceeds the device engine's packed-int32 coordinate limit
-    (1024/axis, core/edt.py:surface_lists).  An EXPLICIT "device" request
-    is honoured as-is (surface_lists raises loudly past the limit)."""
+    (edt.MAX_PACKED_EXTENT/axis, core/edt.py:surface_lists).  An EXPLICIT
+    "device" request is honoured as-is (surface_lists raises loudly past
+    the limit)."""
+    from convexadam_tpu.core.edt import MAX_PACKED_EXTENT  # noqa: PLC0415
+
     if hd95_mode is not None:
         return hd95_mode
-    if backend == "tpu" and max(shape) <= 1024:
+    if backend == "tpu" and max(shape) <= MAX_PACKED_EXTENT:
         return "device"
     return "host"
 
@@ -488,6 +498,12 @@ class SweepResult:
     times: np.ndarray  # (S,) seconds per setting (all pairs)
     rank: np.ndarray  # (S,) or (S*V,) aggregated rank
     best: int
+    # HD95 cap-overflow audit: cases re-scored exactly on host (outside the
+    # timed window — `times` excludes this) and the seconds they took.  A
+    # clean sweep has (0, 0.0); nonzero means the GT-sized buffers were
+    # outgrown and the fallback's volume downloads happened.
+    rescored: int = 0
+    rescore_sec: float = 0.0
 
 
 def _robust30_label_sets(
@@ -575,6 +591,7 @@ def run_stage1_sweep(
                 st["dice"], st["jstd"], st["hd95"], st["times"]
             )
             completed = {int(i) for i in st["completed"]}
+    rescored, rescore_sec = 0, 0.0  # cap-overflow audit (this run only)
 
     def make_fn(grid_sp: int, disp_hw: int):
         def pair_fn(pf, pm, sf, sm, nn_mult):
@@ -654,9 +671,11 @@ def run_stage1_sweep(
         if ov is not None:
             # outside the timed window: the overflow fallback's volume
             # downloads must not inflate times[s] (the bench headline)
-            _rescore_overflows(
+            n_r, t_r = _rescore_overflows(
                 hd_batch, ov, seg_warped, segs_np, fi, num_labels
             )
+            rescored += n_r
+            rescore_sec += t_r
         for g, s in enumerate(idxs):
             st = settings[s]
             dice[s, 0] = d[g].mean()
@@ -697,7 +716,10 @@ def run_stage1_sweep(
     if compute_hd95:
         ranks.insert(2, sort_rank(hd))
     rank1 = rank_product(ranks)
-    return SweepResult(dice, jstd, hd, times, rank1, int(rank1.argmax()))
+    return SweepResult(
+        dice, jstd, hd, times, rank1, int(rank1.argmax()),
+        rescored, rescore_sec,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -856,6 +878,7 @@ def run_stage2_sweep(
                 st["dice"], st["jstd"], st["hd95"], st["times"]
             )
             completed = {int(i) for i in st["completed"]}
+    rescored, rescore_sec = 0, 0.0  # cap-overflow audit (this run only)
 
     def make_fn(grid_sp_adam: int, avg_n: int):
         def pair_fn(pf, pm, sf, sm, dl, mult, lw):
@@ -930,7 +953,11 @@ def run_stage2_sweep(
         dt = (time.time() - t0) / len(idxs)
         if ov is not None:
             # outside the timed window (rare fallback, volume downloads)
-            _rescore_overflows(hd_batch, ov, sw_g, segs_np, fi, num_labels)
+            n_r, t_r = _rescore_overflows(
+                hd_batch, ov, sw_g, segs_np, fi, num_labels
+            )
+            rescored += n_r
+            rescore_sec += t_r
         for g, s in enumerate(idxs):
             st = adam_settings[s]
             dice[s, :, :, 0] = dg[g].mean(axis=(0, 3))
@@ -986,4 +1013,6 @@ def run_stage2_sweep(
         times,
         rank2,
         int(rank2.argmax()),
+        rescored,
+        rescore_sec,
     )

@@ -166,12 +166,14 @@ def evaluate_field(
         k = max(1, int((num_labels + 1) * 0.3))
         out["dice30"] = float(np.sort(dice)[:k].mean())
         if compute_hd95:
+            from convexadam_tpu.core.edt import MAX_PACKED_EXTENT
+
             if (
                 jax.default_backend() == "tpu"
-                and max(seg_fixed.shape) <= 1024
+                and max(seg_fixed.shape) <= MAX_PACKED_EXTENT
                 # the device engine packs coordinates into one int32
-                # (1024/axis, core/edt.py:surface_lists) — larger grids
-                # fall back to the host EDT loop
+                # (MAX_PACKED_EXTENT/axis, core/edt.py:surface_lists) —
+                # larger grids fall back to the host EDT loop
             ):
                 # surface-point-set HD95 on device (core/edt.py) — the host
                 # scipy EDT loop costs seconds per case at L2R scale.  Caps

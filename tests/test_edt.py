@@ -326,3 +326,46 @@ def test_caps_overflow_flags_truncation(rng):
     pre_small = surface_lists(jnp.asarray(s1), jnp.asarray(s2), 2, 64)
     bufs = label_buffers(pre_small, 2, generous)
     assert bool(caps_overflow(pre_small, bufs, generous))
+
+
+def test_hd95_device_through_pruned_kernel_matches_host(rng, monkeypatch):
+    """Route hd95_from_buffers through the bucketed-grid PRUNED search
+    (interpret mode) — the TPU default dispatch since round 5 — and check
+    values still equal the host EDT loop exactly."""
+    import jax.numpy as jnp
+    from scipy.ndimage import uniform_filter
+
+    import convexadam_tpu.core.edt as edt
+    from convexadam_tpu.core.metrics import hd95
+
+    monkeypatch.setattr(edt, "_pruned_search_enabled", lambda K: True)
+    monkeypatch.setattr(edt, "_nearest_sq_pruned", _pruned_interp)
+
+    def labels(seed):
+        v = uniform_filter(
+            np.random.default_rng(seed)
+            .standard_normal((18, 20, 22)).astype(np.float32), 5
+        )
+        return np.digitize(v, np.quantile(v, [0.3, 0.6, 0.85])).astype(
+            np.int32
+        )
+
+    s1, s2 = labels(0), labels(1)
+    host = hd95(s1, s2, 3)
+    dev = np.asarray(
+        edt.hd95_device(
+            jnp.asarray(s1), jnp.asarray(s2), 3, label_chunk=3,
+            max_surface=4096,
+        )
+    )
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def _pruned_interp(q, t, lo, hi, nt, bf16ok):
+    from convexadam_tpu.ops.edt_pallas import (
+        nearest_sq_pruned_pallas_batchable,
+    )
+
+    return nearest_sq_pruned_pallas_batchable(
+        q, t, lo, hi, nt, coords_bf16_exact=bf16ok, interpret=True
+    )

@@ -464,3 +464,87 @@ def test_nearest_sq_dual_head_skip_exact_on_meaningful_ranges(rng):
     )
     np.testing.assert_array_equal(np.asarray(out_q)[hq:nq], ref_q[hq:nq])
     np.testing.assert_array_equal(np.asarray(out_t)[ht:nt], ref_t[ht:nt])
+
+
+def test_nearest_sq_pruned_pallas_matches_xla(rng):
+    """The bucketed-grid pruned search (proximity-ordered target-block walk
+    with bound-based early exit) must equal the XLA scan EXACTLY on every
+    meaningful query — for clustered (surface-like) data, scattered data,
+    pads, and segment windows.  The bbox bound argument makes no ordering
+    assumption, so exactness must hold even for unsorted points."""
+    from convexadam_tpu.core.edt import _COORD_PAD, _nearest_sq
+    from convexadam_tpu.ops.edt_pallas import nearest_sq_pruned_pallas
+
+    kq, kt = 512, 640
+    for case in ("clustered", "scattered"):
+        for (lo, hi, nt) in ((0, 420, 500), (200, 420, 500), (0, 512, 640),
+                             (100, 100, 500), (0, 420, 0)):
+            q = np.full((3, kq), _COORD_PAD, np.float32)
+            t = np.full((3, kt), _COORD_PAD, np.float32)
+            nq_real = max(hi, 1)
+            if case == "clustered":
+                # raster-sorted shell points (the real buffer layout)
+                zz = np.sort(rng.integers(0, 40, nq_real))
+                q[:, :nq_real] = np.stack(
+                    [zz, rng.integers(0, 180, nq_real),
+                     rng.integers(0, 180, nq_real)]
+                )
+                zt = np.sort(rng.integers(0, 40, max(nt, 1)))
+                t[:, :max(nt, 1)] = np.stack(
+                    [zt, rng.integers(0, 180, max(nt, 1)),
+                     rng.integers(0, 180, max(nt, 1))]
+                )
+            else:
+                q[:, :nq_real] = rng.integers(0, 1000, (3, nq_real))
+                t[:, :max(nt, 1)] = rng.integers(0, 1000, (3, max(nt, 1)))
+            if nt == 0:
+                t[:] = _COORD_PAD
+            qj, tj = jnp.asarray(q), jnp.asarray(t)
+            ref = np.asarray(_nearest_sq(qj, tj, chunk=128))
+            for bf16 in ((False, True) if case == "clustered" else (False,)):
+                out = np.asarray(
+                    nearest_sq_pruned_pallas(
+                        qj, tj, jnp.int32(lo), jnp.int32(hi), jnp.int32(nt),
+                        coords_bf16_exact=bf16 and case == "clustered",
+                        interpret=True, bq=128, bt=128,
+                    )
+                )
+                if nt > 0 and hi > lo:
+                    np.testing.assert_array_equal(out[lo:hi], ref[lo:hi])
+
+
+def test_nearest_sq_pruned_pallas_batchable_matches_per_item(rng):
+    """The sequential-vmap wrapper must match per-item kernel calls."""
+    import jax
+
+    from convexadam_tpu.core.edt import _COORD_PAD
+    from convexadam_tpu.ops.edt_pallas import (
+        nearest_sq_pruned_pallas,
+        nearest_sq_pruned_pallas_batchable,
+    )
+
+    kq, kt = 256, 256
+    qs = np.full((2, 3, kq), _COORD_PAD, np.float32)
+    ts = np.full((2, 3, kt), _COORD_PAD, np.float32)
+    for i in range(2):
+        qs[i, :, :200] = rng.integers(0, 150, (3, 200))
+        ts[i, :, :180] = rng.integers(0, 150, (3, 180))
+    qs, ts = jnp.asarray(qs), jnp.asarray(ts)
+    los = jnp.asarray([0, 50], jnp.int32)
+    his = jnp.asarray([200, 180], jnp.int32)
+    nts = jnp.asarray([180, 150], jnp.int32)
+    out_v = jax.vmap(
+        lambda a, b, lo, hi, nt: nearest_sq_pruned_pallas_batchable(
+            a, b, lo, hi, nt, interpret=True
+        )
+    )(qs, ts, los, his, nts)
+    for i in range(2):
+        ref = np.asarray(
+            nearest_sq_pruned_pallas(
+                qs[i], ts[i], los[i], his[i], nts[i], interpret=True
+            )
+        )
+        lo, hi = int(los[i]), int(his[i])
+        np.testing.assert_array_equal(
+            np.asarray(out_v[i])[lo:hi], ref[lo:hi]
+        )

@@ -87,6 +87,11 @@ def diffusion_regularizer(disp: jax.Array) -> jax.Array:
     return jnp.mean(dh * dh) + jnp.mean(dw * dw) + jnp.mean(dd * dd)
 
 
+def _sub_lattice(x: jax.Array, stride: int) -> jax.Array:
+    """(C, h, w, d) → the ``(::stride,)*3`` spatial sub-lattice."""
+    return x if stride == 1 else x[:, ::stride, ::stride, ::stride]
+
+
 def _loss_fn(
     weight: jax.Array,
     feat_fix: jax.Array,
@@ -95,29 +100,31 @@ def _loss_fn(
     lambda_weight,
     smooth_fn,
     cost_scale,
+    stride: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     disp_sample = smooth_fn(weight)
     reg = lambda_weight * diffusion_regularizer(disp_sample)
     data = warp_ssd_mean_loss(
-        feat_mov_stack, feat_mov_shape, disp_sample, feat_fix, cost_scale
+        feat_mov_stack, feat_mov_shape, _sub_lattice(disp_sample, stride),
+        feat_fix, cost_scale, stride=stride,
     )
     return data + reg, disp_sample
 
 
 def _grad_step_autodiff(
     weight, feat_fix, feat_mov_stack, feat_mov_shape, lambda_weight,
-    smooth_fn, cost_scale,
+    smooth_fn, cost_scale, stride=1,
 ):
     (_, ds), g = jax.value_and_grad(_loss_fn, has_aux=True)(
         weight, feat_fix, feat_mov_stack, feat_mov_shape, lambda_weight,
-        smooth_fn, cost_scale,
+        smooth_fn, cost_scale, stride,
     )
     return ds, g
 
 
 def _grad_step_explicit(
     weight, fix_flat, feat_mov_stack, feat_mov_shape, lambda_weight,
-    smooth_fn, cost_scale, interpret=False,
+    smooth_fn, cost_scale, interpret=False, stride=1,
 ):
     """One gradient evaluation with the chain rule composed by hand.
 
@@ -127,13 +134,20 @@ def _grad_step_explicit(
     smoother/regularizer factors use ``jax.vjp`` — avoiding the
     ``custom_vjp`` call boundary that costs ~1.3 ms/iter at 96³ on TPU
     (sub-jaxpr DCE/fusion barrier, see warp.py:warp_ssd_loss_and_grad).
+
+    With ``stride`` > 1 the data term is evaluated on the strided sample
+    sub-lattice (``fix_flat`` carries the sub-lattice's fixed features);
+    its gradient is padded back onto the full grid (zeros between samples —
+    the exact vjp of the strided slice) before the smoother vjp spreads it.
     """
     ds, vjp_smooth = jax.vjp(smooth_fn, weight)
     _, vjp_reg = jax.vjp(diffusion_regularizer, ds)
-    _, d_data = warp_ssd_loss_and_grad(
-        feat_mov_stack, feat_mov_shape, ds, fix_flat, cost_scale,
-        interpret=interpret,
+    ds_sub, vjp_sub = jax.vjp(lambda x: _sub_lattice(x, stride), ds)
+    _, d_data_sub = warp_ssd_loss_and_grad(
+        feat_mov_stack, feat_mov_shape, ds_sub, fix_flat, cost_scale,
+        interpret=interpret, stride=stride,
     )
+    (d_data,) = vjp_sub(d_data_sub.reshape(ds_sub.shape))
     (d_reg,) = vjp_reg(jnp.asarray(lambda_weight, ds.dtype))
     (g,) = vjp_smooth(d_data + d_reg)
     return ds, g
@@ -141,7 +155,7 @@ def _grad_step_explicit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("niter", "snapshot_iters", "smoother"),
+    static_argnames=("niter", "snapshot_iters", "smoother", "sample_stride"),
 )
 def adam_instance_optimisation(
     feat_fix: jax.Array,
@@ -152,6 +166,7 @@ def adam_instance_optimisation(
     snapshot_iters: tuple[int, ...] = (),
     smoother: tuple = ("box", 3, 3),
     cost_scale=12.0,
+    sample_stride: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Optimise a low-res displacement grid against pooled features.
 
@@ -171,6 +186,18 @@ def adam_instance_optimisation(
       snapshot_iters: additional iteration counts at which to record the
         smoothed field ("field after k iterations", i.e. the field the
         reference would output with ``selected_niter=k``).
+      sample_stride: OPT-IN speed knob (default 1 = the reference's dense
+        data term).  Evaluate the SSD data term on the ``(::stride,)*3``
+        sub-lattice of the coarse grid only: the per-index-bound
+        neighbourhood gather — the measured Adam-loop floor (~10 ms/iter
+        at 96³, core/warp.py) — shrinks by ``stride³`` while the smoother,
+        regularizer and output field stay full-resolution (the data
+        gradient is zero-padded onto the full grid, exactly the vjp of the
+        strided slice; the box/Gaussian smoother vjp spreads it to the
+        skipped points).  Precedent for sparse data terms in the reference:
+        masked features (convex_adam_MIND.py:40-51) and masked cost volumes
+        (l2r_2020_convexAdam_CuRIOUS.py:330-336).  Accuracy envelope pinned
+        by tests + the on-chip measurement in ROADMAP.md.
 
     Returns:
       (final_field, snapshots): final smoothed field (3, h, w, d) — the
@@ -193,7 +220,10 @@ def adam_instance_optimisation(
     opt_state = opt.init(w0)
 
     C = feat_mov_shape[0]
-    n_pts = int(feat_mov_shape[1] * feat_mov_shape[2] * feat_mov_shape[3])
+    feat_fix_sub = _sub_lattice(feat_fix, sample_stride)
+    n_pts = int(
+        feat_fix_sub.shape[1] * feat_fix_sub.shape[2] * feat_fix_sub.shape[3]
+    )
     use_explicit = False
     if jax.default_backend() == "tpu":
         from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
@@ -202,18 +232,18 @@ def adam_instance_optimisation(
 
         use_explicit = corner_reduce_supported(n_pts)
     if use_explicit:
-        fix_flat = feat_fix.reshape(C, -1)
+        fix_flat = feat_fix_sub.reshape(C, -1)
 
         def grad_fn(w):
             return _grad_step_explicit(
                 w, fix_flat, feat_mov_stack, feat_mov_shape, lambda_weight,
-                smooth_fn, cost_scale,
+                smooth_fn, cost_scale, stride=sample_stride,
             )
     else:
         def grad_fn(w):
             return _grad_step_autodiff(
-                w, feat_fix, feat_mov_stack, feat_mov_shape, lambda_weight,
-                smooth_fn, cost_scale,
+                w, feat_fix_sub, feat_mov_stack, feat_mov_shape,
+                lambda_weight, smooth_fn, cost_scale, stride=sample_stride,
             )
 
     n_snap = len(snapshot_iters)

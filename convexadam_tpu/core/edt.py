@@ -165,7 +165,10 @@ def _compact(mask_flat: jax.Array, K: int):
     pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
     tgt = jnp.where(mask_flat, pos, K)  # out-of-range rows are dropped
     buf = jnp.full((K,), -1, jnp.int32)
-    buf = buf.at[tgt].set(
+    # fence the scatter operands: the where/cumsum producers otherwise fuse
+    # into the per-index-bound scatter kernel (see the gather fences in
+    # core/warp.py — the same drag applies to scatters)
+    buf = buf.at[lax.optimization_barrier(tgt)].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
     count = jnp.where(mask_flat.shape[0] > 0, pos[-1] + 1, 0)
@@ -442,7 +445,13 @@ def surface_lists(
             word = word | (
                 eq.reshape(seg.shape).astype(jnp.int32) << (7 * bits)
             )
-            w = jnp.where(gvalid, word.reshape(-1)[safe], jnp.int32(-1))
+            # fence the take: XLA fuses the unpack shifts/selects below INTO
+            # the gather kernel, dragging them to per-index speed (measured
+            # 31 -> ~9 ms at Kg=782k, scripts/profile_surface_lists.py)
+            w_raw = lax.optimization_barrier(
+                jnp.take(word.reshape(-1), lax.optimization_barrier(safe))
+            )
+            w = jnp.where(gvalid, w_raw, jnp.int32(-1))
             fmask = jnp.int32((1 << bits) - 1)
             own = jnp.where(gvalid, w & fmask, jnp.int32(-1)).astype(jnp.int16)
             nbv = jnp.stack([

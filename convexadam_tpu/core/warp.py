@@ -538,7 +538,12 @@ def warp_with_displacement_stacked(
 # fused data-term loss (Adam loop): warp + SSD + reductions in the kernels
 # ---------------------------------------------------------------------------
 
-def _stacked_mse_pos(disp, align_corners, vol_shape):
+def _sub_extent(size: int, stride: int) -> int:
+    """Points of ``range(0, size, stride)`` — the strided sample lattice."""
+    return -(-size // stride)
+
+
+def _stacked_mse_pos(disp, align_corners, vol_shape, stride: int = 1):
     """Per-axis absolute sample coordinates for the fused data-term path.
 
     The public sampler convention (torch parity) builds a normalized grid
@@ -549,6 +554,11 @@ def _stacked_mse_pos(disp, align_corners, vol_shape):
     layout keeps the lane dimension wide — the (n, 3) grid array (lane dim
     3, padded to 128 on TPU) forced ~1.4 ms/iter of relayout copies at 96³.
 
+    ``stride`` > 1 evaluates on the strided sample lattice
+    ``(::stride, ::stride, ::stride)`` of the full grid (``disp`` then
+    carries the sub-lattice's displacement rows); the gather's per-index
+    cost — the Adam-loop floor — drops by ``stride³``.
+
     Returns (pos_rows (3, n) f32, fac).
     """
     _, H, W, D = vol_shape
@@ -557,14 +567,16 @@ def _stacked_mse_pos(disp, align_corners, vol_shape):
         fac = (1.0, 1.0, 1.0)
     else:
         fac = (H / (H - 1.0), W / (W - 1.0), D / (D - 1.0))
+    hs, ws, ds_ = (_sub_extent(s, stride) for s in (H, W, D))
+    st = jnp.float32(stride)
     ii = jnp.broadcast_to(
-        jnp.arange(H, dtype=jnp.float32)[:, None, None], (H, W, D)
+        st * jnp.arange(hs, dtype=jnp.float32)[:, None, None], (hs, ws, ds_)
     ).reshape(-1)
     jj = jnp.broadcast_to(
-        jnp.arange(W, dtype=jnp.float32)[None, :, None], (H, W, D)
+        st * jnp.arange(ws, dtype=jnp.float32)[None, :, None], (hs, ws, ds_)
     ).reshape(-1)
     kk = jnp.broadcast_to(
-        jnp.arange(D, dtype=jnp.float32)[None, None, :], (H, W, D)
+        st * jnp.arange(ds_, dtype=jnp.float32)[None, None, :], (hs, ws, ds_)
     ).reshape(-1)
     pos = jnp.stack(
         [ii + d[0] * fac[0], jj + d[1] * fac[1], kk + d[2] * fac[2]]
@@ -583,23 +595,29 @@ def _stacked_mse_coords(pos):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _stacked_mse(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _stacked_mse(
+    vol8, disp, fix_flat, cost_scale, align_corners, vol_shape, stride=1
+):
     loss, _ = _stacked_mse_fwd(
-        vol8, disp, fix_flat, cost_scale, align_corners, vol_shape
+        vol8, disp, fix_flat, cost_scale, align_corners, vol_shape, stride
     )
     return loss
 
 
 def _fused_loss_grad(
     vol8, disp, fix_flat, cost_scale, align_corners, vol_shape,
-    interpret=False,
+    interpret=False, stride=1,
 ):
     """Shared body of the fused data term: corner-stack gather + one-pass
     loss/coordinate-gradient kernel.  Both the ``custom_vjp`` path
     (:func:`_stacked_mse_fwd`) and the explicitly-composed Adam-loop path
     (:func:`warp_ssd_loss_and_grad`) route through here — the index math
     and chain factors must never diverge between them.
+
+    With ``stride`` > 1 the loss is the mean over the strided sample
+    lattice only (``disp``/``fix_flat`` carry sub-lattice values) and
+    ``ddisp`` is the gradient w.r.t. the sub-lattice displacement.
 
     Returns ``(loss, ddisp, block, ssq_total)``.
     """
@@ -608,8 +626,8 @@ def _fused_loss_grad(
     )
 
     C, H, W, D = vol_shape
-    n = H * W * D
-    pos, fac = _stacked_mse_pos(disp, align_corners, vol_shape)
+    pos, fac = _stacked_mse_pos(disp, align_corners, vol_shape, stride)
+    n = pos.shape[1]
     x0i = jnp.floor(pos).astype(jnp.int32)
     xb = jnp.clip(x0i[0] + 1, 0, H)
     yb = jnp.clip(x0i[1] + 1, 0, W)
@@ -633,10 +651,12 @@ def _fused_loss_grad(
     return loss, ddisp, block, ssq_total
 
 
-def _stacked_mse_fwd(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape):
+def _stacked_mse_fwd(
+    vol8, disp, fix_flat, cost_scale, align_corners, vol_shape, stride=1
+):
     loss, ddisp_pre, block, ssq_total = _fused_loss_grad(
         vol8, disp, fix_flat.astype(jnp.float32), cost_scale,
-        align_corners, vol_shape,
+        align_corners, vol_shape, stride=stride,
     )
     return loss, (
         ddisp_pre, block, disp, fix_flat, cost_scale, ssq_total,
@@ -644,7 +664,7 @@ def _stacked_mse_fwd(vol8, disp, fix_flat, cost_scale, align_corners, vol_shape)
     )
 
 
-def _stacked_mse_bwd(align_corners, vol_shape, resids, ctl):
+def _stacked_mse_bwd(align_corners, vol_shape, stride, resids, ctl):
     from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
         corner_reduce_fwd_batchable,
     )
@@ -653,12 +673,12 @@ def _stacked_mse_bwd(align_corners, vol_shape, resids, ctl):
         resids
     )
     C, H, W, D = vol_shape
-    n = H * W * D
+    n = fix_flat.shape[-1]  # sampled-point count (= H*W*D when stride == 1)
     ddisp = (ctl.astype(jnp.float32) * ddisp_pre).astype(disp.dtype)
     # vol8/fix cotangents are lazy recomputes (DCE'd by jax/XLA in the Adam
     # loop, where both are loop constants and only the grid is differentiated)
     dvol8 = jnp.zeros((8, C, H + 1, W + 1, D + 1), vol8_token.dtype)
-    pos, _ = _stacked_mse_pos(disp, align_corners, vol_shape)
+    pos, _ = _stacked_mse_pos(disp, align_corners, vol_shape, stride)
     fracs, bases = _stacked_mse_coords(pos)
     warped = corner_reduce_fwd_batchable(block, fracs, bases, (C, H, W, D))
     res = warped - fix_flat.astype(jnp.float32)
@@ -678,6 +698,7 @@ def warp_ssd_mean_loss(
     feat_fix: jax.Array,
     cost_scale,
     align_corners: bool = False,
+    stride: int = 1,
 ) -> jax.Array:
     """The Adam data term ``mean(mean_c((warp(mov) − fix)²) · cost_scale)``
     (convex_adam_MIND.py:174-176) on a prebuilt corner stack.
@@ -687,9 +708,15 @@ def warp_ssd_mean_loss(
     (ops/warp_pallas.py) — the separate loss/cotangent elementwise passes
     over the (C, N) warped features disappear.  Elsewhere this is the plain
     composition of the stacked sampler with the XLA reductions.
+
+    With ``stride`` > 1 the mean runs over the ``(::stride,)*3`` sample
+    sub-lattice only (an opt-in speed knob — the gather's per-index cost is
+    the Adam-loop floor); ``disp_voxels`` and ``feat_fix`` then carry the
+    sub-lattice values, while ``vol8``/``vol_shape`` stay full-resolution.
     """
     C, H, W, D = vol_shape
-    n = H * W * D
+    hs, ws, ds_ = (_sub_extent(s, stride) for s in (H, W, D))
+    n = hs * ws * ds_
     if jax.default_backend() == "tpu":
         from convexadam_tpu.ops.warp_pallas import (  # noqa: PLC0415
             corner_reduce_supported,
@@ -698,16 +725,23 @@ def warp_ssd_mean_loss(
         if corner_reduce_supported(n):
             return _stacked_mse(
                 vol8, disp_voxels, feat_fix.reshape(C, -1).astype(jnp.float32),
-                cost_scale, align_corners, vol_shape,
+                cost_scale, align_corners, vol_shape, stride,
             )
     scale = jnp.array(
         [(H - 1) / 2.0, (W - 1) / 2.0, (D - 1) / 2.0], dtype=disp_voxels.dtype
     ).reshape(3, 1, 1, 1)
-    grid = identity_grid_normalized((H, W, D), align_corners, disp_voxels.dtype)
+    axes = [
+        normalize_coord(
+            jnp.arange(0, s, stride, dtype=disp_voxels.dtype), s, align_corners
+        )
+        for s in (H, W, D)
+    ]
+    gh, gw, gd = jnp.meshgrid(*axes, indexing="ij")
+    grid = jnp.stack([gh, gw, gd], axis=-1)
     grid = grid + jnp.moveaxis(disp_voxels / scale, 0, -1)
     g = grid.reshape(-1, 3)
     warped = _grid_sample_stacked(vol8, g, align_corners, vol_shape).reshape(
-        (C, H, W, D)
+        (C, hs, ws, ds_)
     )
     cost = jnp.mean((warped - feat_fix) ** 2, axis=0) * cost_scale
     return jnp.mean(cost)
@@ -721,6 +755,7 @@ def warp_ssd_loss_and_grad(
     cost_scale,
     align_corners: bool = False,
     interpret: bool = False,
+    stride: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Adam data term AND its displacement gradient, explicitly composed.
 
@@ -738,7 +773,7 @@ def warp_ssd_loss_and_grad(
     """
     loss, ddisp, _, _ = _fused_loss_grad(
         vol8, disp_voxels, fix_flat, cost_scale, align_corners, vol_shape,
-        interpret=interpret,
+        interpret=interpret, stride=stride,
     )
     return loss, ddisp
 

@@ -79,6 +79,14 @@ class ConvexAdamConfig:
     # snapshot iteration counts for multi-output runs (self-configuring);
     # empty for the standard single-output pipeline.
     snapshot_iters: tuple[int, ...] = ()
+    # OPT-IN Adam data-term sample stride (default 1 = the reference's dense
+    # data term, convex_adam_MIND.py:174-176).  With stride s the SSD is
+    # evaluated on the (::s,)*3 sub-lattice of the Adam grid: the
+    # per-index-bound gather — the measured Adam-loop floor — shrinks by
+    # s^3, while smoothing, regularization and the output field stay
+    # full-resolution.  Accuracy envelope: see core/adam.py docstring and
+    # ROADMAP.md's on-chip measurement.
+    adam_sample_stride: int = 1
 
     @property
     def compute_dtype(self):
@@ -194,6 +202,7 @@ def _adam_stage(
         niter=cfg.selected_niter,
         snapshot_iters=cfg.snapshot_iters,
         smoother=cfg.adam_smoother,
+        sample_stride=cfg.adam_sample_stride,
     )
 
     def upsample_and_smooth(field):

@@ -548,3 +548,82 @@ def test_nearest_sq_pruned_pallas_batchable_matches_per_item(rng):
         np.testing.assert_array_equal(
             np.asarray(out_v[i])[lo:hi], ref[lo:hi]
         )
+
+
+def test_warp_ssd_strided_loss_matches_sublattice_oracle(rng):
+    """The strided data term (sample_stride knob) must equal the dense warp
+    evaluated on the sub-lattice: warping THEN subsampling is identical to
+    sampling at the sub-lattice positions, on both the fused-kernel
+    (interpret) and XLA fallback paths."""
+    from convexadam_tpu.core.warp import (
+        build_corner_stack,
+        warp_ssd_loss_and_grad,
+        warp_ssd_mean_loss,
+        warp_with_displacement_stacked,
+    )
+
+    C, H, W, D, s = 3, 16, 8, 16, 2  # sub-lattice 8*4*8 = 256 (kernel tile)
+    cost_scale = 7.0
+    mov = rng.standard_normal((C, H, W, D)).astype(np.float32)
+    fix = rng.standard_normal((C, H, W, D)).astype(np.float32)
+    disp = (rng.standard_normal((3, H, W, D)) * 1.5).astype(np.float32)
+    stack = build_corner_stack(jnp.asarray(mov))
+
+    warped = warp_with_displacement_stacked(
+        stack, (C, H, W, D), jnp.asarray(disp)
+    )
+    sub = (slice(None), slice(None, None, s), slice(None, None, s),
+           slice(None, None, s))
+    oracle = float(jnp.mean(
+        jnp.mean((warped[sub] - jnp.asarray(fix)[sub]) ** 2, axis=0)
+        * cost_scale
+    ))
+
+    d_sub = jnp.asarray(disp)[sub]
+    f_sub = jnp.asarray(fix)[sub]
+    # XLA fallback path (CPU backend in tests)
+    loss_xla = warp_ssd_mean_loss(
+        stack, (C, H, W, D), d_sub, f_sub, cost_scale, stride=s
+    )
+    np.testing.assert_allclose(float(loss_xla), oracle, rtol=1e-5)
+    # fused kernel path (interpret)
+    loss_k, _ = warp_ssd_loss_and_grad(
+        stack, (C, H, W, D), d_sub, f_sub.reshape(3, -1), cost_scale,
+        interpret=True, stride=s,
+    )
+    np.testing.assert_allclose(float(loss_k), oracle, rtol=1e-5)
+
+
+def test_explicit_strided_grad_matches_autodiff(rng):
+    """_grad_step_explicit with sample_stride > 1 (fused kernel + zero-pad
+    vjp of the strided slice) must match jax.value_and_grad of the strided
+    loss."""
+    from convexadam_tpu.core.adam import (
+        _grad_step_autodiff,
+        _grad_step_explicit,
+        _sub_lattice,
+        resolve_smoother,
+    )
+    from convexadam_tpu.core.warp import build_corner_stack
+
+    C, H, W, D, s = 3, 16, 16, 8, 2  # sub-lattice 8*8*4 = 256 (kernel tile)
+    fix = jnp.asarray(rng.standard_normal((C, H, W, D)).astype(np.float32))
+    mov = jnp.asarray(rng.standard_normal((C, H, W, D)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, H, W, D)) * 1.5).astype(np.float32)
+    )
+    stack = build_corner_stack(mov)
+    smooth_fn = resolve_smoother(("box", 3, 3))
+    fix_sub = _sub_lattice(fix, s)
+
+    ds_a, g_a = _grad_step_autodiff(
+        w, fix_sub, stack, (C, H, W, D), 1.25, smooth_fn, 12.0, stride=s
+    )
+    ds_e, g_e = _grad_step_explicit(
+        w, fix_sub.reshape(C, -1), stack, (C, H, W, D), 1.25, smooth_fn,
+        12.0, interpret=True, stride=s,
+    )
+    np.testing.assert_allclose(np.asarray(ds_e), np.asarray(ds_a), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_e), np.asarray(g_a), rtol=1e-4, atol=1e-6
+    )

@@ -3,6 +3,8 @@ mirroring the reference test strategy (tests/test_convex_adam_mind.py), plus
 a torch-oracle parity test of the Adam instance-optimisation stage.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 import torch
@@ -334,3 +336,30 @@ def test_degenerate_grid_raises():
             ConvexAdamConfig(grid_sp=4, disp_hw=1, grid_sp_adam=12,
                              selected_niter=2),
         )
+
+
+def test_translation_recovered_with_strided_data_term():
+    """The opt-in adam_sample_stride=2 knob (data term on the (::2,)*3
+    sub-lattice of the Adam grid) must still recover a known shift within
+    1 voxel for >90% of central voxels — the same bar as the dense path
+    (reference precedent for sparse data terms: masked features
+    convex_adam_MIND.py:40-51, masked cost volumes
+    l2r_2020_convexAdam_CuRIOUS.py:330-336)."""
+    img = _synthetic_volume((48, 48, 48), seed=3)
+    shift = (4, -3, 2)
+    moving = np.roll(img, shift, axis=(0, 1, 2))
+    cfg = dataclasses.replace(FAST_CFG, adam_sample_stride=2)
+    disp = convex_adam(img, moving, cfg)
+    c = 12
+    central = disp[c:-c, c:-c, c:-c]
+    err = np.abs(central - np.array(shift, np.float32))
+    frac_ok = np.mean(np.all(err < 1.0, axis=-1))
+    assert frac_ok > 0.9, f"only {frac_ok:.2%} within 1 voxel"
+
+    # and the dense-vs-strided fields must stay close away from the roll
+    # wrap-around artefacts (documented accuracy envelope of the knob)
+    dense = convex_adam(img, moving, FAST_CFG)
+    p95 = np.percentile(
+        np.abs(disp[c:-c, c:-c, c:-c] - dense[c:-c, c:-c, c:-c]), 95
+    )
+    assert p95 < 0.5, f"strided field central p95 delta {p95:.3f} vox vs dense"

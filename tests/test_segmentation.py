@@ -224,3 +224,28 @@ def test_pretrained_multicase_checkpoint_generalizes():
         dice = 2 * inter / ((pred == 1).sum() + (gt == 1).sum() + 1e-8)
         assert dice > 0.7, f"held-out deformation dice too low: {dice}"
         assert (pred != gt).any(), "suspiciously perfect"
+
+
+def test_pretrained_anatomy_checkpoint_generalizes():
+    """The multi-ANATOMY checkpoint (models/checkpoints/unet3d_anatomies,
+    tests/regen_unet_anatomies.py: three topologically distinct synthetic
+    anatomies x {identity + 2 deformations}, 9 cases) must segment the
+    HELD-OUT anatomy — a blob topology never seen in training (a bent
+    tube; trained: notched ellipsoid, twin blobs, hollow shell) — proving
+    shape/topology transfer rather than per-anatomy memorization
+    (VERDICT r4 next#7; consumption contract main_for_l2r3_nnUNet.py:76-80)."""
+    from convexadam_tpu.models.segmentation import (
+        load_pretrained_unet3d,
+        sliding_window_predict,
+    )
+
+    from tests.regen_unet_anatomies import HOLDOUT_ANATOMY, holdout_case
+
+    predictor, meta = load_pretrained_unet3d("unet3d_anatomies")
+    assert meta["holdout_anatomy"] == HOLDOUT_ANATOMY
+    img, gt = holdout_case()
+    pred = sliding_window_predict(predictor, img, meta["patch_size"])
+    inter = np.sum((pred == 1) & (gt == 1))
+    dice = 2 * inter / ((pred == 1).sum() + (gt == 1).sum() + 1e-8)
+    assert dice > 0.7, f"held-out anatomy dice too low: {dice}"
+    assert (pred != gt).any(), "suspiciously perfect"

@@ -165,9 +165,9 @@ def _compact(mask_flat: jax.Array, K: int):
     pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
     tgt = jnp.where(mask_flat, pos, K)  # out-of-range rows are dropped
     buf = jnp.full((K,), -1, jnp.int32)
-    # fence the scatter operands: the where/cumsum producers otherwise fuse
-    # into the per-index-bound scatter kernel (see the gather fences in
-    # core/warp.py — the same drag applies to scatters)
+    # fence the scatter operands so the where/cumsum producers cannot fuse
+    # into the per-index-bound scatter kernel (measured neutral in the
+    # fused whole, like the gather fence in surface_side — cheap insurance)
     buf = buf.at[lax.optimization_barrier(tgt)].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
@@ -378,27 +378,51 @@ class SurfaceLists(NamedTuple):
     n_total_m: jax.Array  # the compacted list truncates — overflow guard)
 
 
-def surface_lists(
-    seg_fixed: jax.Array,
-    seg_moving: jax.Array,
+class SurfaceSide(NamedTuple):
+    """ONE volume's compacted surface list (the per-volume half of
+    :class:`SurfaceLists`).  Split out in round 5 because the FIXED side of
+    a sweep is constant across settings and evaluation variants — the
+    engine computes it once per pair and shares it (stage-2 scores 16
+    variants per setting, so the fixed preamble used to run 16x per
+    setting).  The only cross-volume bit, ``inside``, is recomputed per
+    variant (one fenced Kg-index gather, :func:`inside_flags`) or packed
+    into the word gather when ``seg_other`` is passed."""
+
+    own: jax.Array      # (Kg,) int16 label at each surface voxel (-1 pad)
+    nbv: jax.Array      # (6, Kg) int16 face-neighbour labels (sentinel pad)
+    gc: jax.Array       # (3, Kg) f32 coords (_COORD_PAD pad)
+    inside: jax.Array   # (Kg,) bool (all-False when built w/o ``seg_other``)
+    gidx: jax.Array     # (Kg,) int32 compacted flat indices (-1 pad)
+    counts: jax.Array   # (num_labels+1,) per-label voxel counts
+    n_total: jax.Array  # scalar TRUE boundary count (may exceed Kg)
+
+
+def surface_side(
+    seg: jax.Array,
     num_labels: int,
     global_surface: "int | None" = None,
-) -> SurfaceLists:
-    """Full-volume preamble of :func:`hd95_device`: one cumsum+scatter
-    compaction of the all-labels surface list per volume (every inner/outer
-    surface voxel of every label has a differing face neighbour), plus the
-    packed-word neighbour gather and per-label voxel counts."""
-    H, W, D = seg_fixed.shape
+    seg_other: "jax.Array | None" = None,
+) -> SurfaceSide:
+    """Full-volume preamble for ONE volume: cumsum+scatter compaction of
+    the all-labels surface list (every inner/outer surface voxel of every
+    label has a differing face neighbour), the packed-word neighbour
+    gather, and per-label voxel counts.
+
+    With ``seg_other`` the agreement bit (surface voxel INSIDE the other
+    volume's same-label mask) rides in the packed word — one gather total,
+    like the fused pair path.  Without it, ``inside`` is all-False and the
+    caller derives it later via :func:`inside_flags` (the sweep engine's
+    cached-fixed-side mode)."""
+    H, W, D = seg.shape
     if max(H, W, D) > MAX_PACKED_EXTENT:
         raise ValueError(
-            f"surface_lists supports dims <= {MAX_PACKED_EXTENT} "
+            f"surface_side supports dims <= {MAX_PACKED_EXTENT} "
             f"(got {(H, W, D)}): label_buffers packs coordinates as "
             "10-bit fields"
         )
     N = H * W * D
     Kg = min(N, 262144) if global_surface is None else min(N, global_surface)
-    sf = seg_fixed.astype(jnp.int16)
-    sm = seg_moving.astype(jnp.int16)
+    sg = seg.astype(jnp.int16)
 
     # Gathers are per-INDEX bound on TPU (~80-90 M idx/s, see core/warp.py),
     # and the surface-list preamble's (6, Kg) neighbour-label gather was its
@@ -413,80 +437,116 @@ def surface_lists(
     # a surface voxel of label l is INSIDE the other volume's l-mask iff the
     # volumes agree there — computed full-volume (bandwidth-cheap) and
     # packed/gathered with the word instead of a second per-surface gather
-    eq = (sf == sm).reshape(-1)
+    eq = None
+    if seg_other is not None:
+        eq = (sg == seg_other.astype(jnp.int16)).reshape(-1)
 
-    def neighbor_stack(seg):
-        """(6, H, W, D) face-neighbour values (edge-replicated, so borders
-        never count as surface against the outside — matching scipy's EDT
-        which measures within the array)."""
-        outs = []
-        for ax in range(3):
-            outs.append(jnp.concatenate(
-                [seg.take(jnp.asarray([0]), axis=ax), seg], axis=ax
-            ).take(jnp.arange(seg.shape[ax]), axis=ax))
-            outs.append(jnp.concatenate(
-                [seg, seg.take(jnp.asarray([-1]), axis=ax)], axis=ax
-            ).take(jnp.arange(1, seg.shape[ax] + 1), axis=ax))
-        return jnp.stack(outs)
-
-    def volume_side(seg):
-        """Global surface list of one volume: (own labels (Kg,), neighbour
-        labels (6, Kg), coords (3, Kg) f32, global flat indices (Kg,)).
-        ``own``/``nbv`` are -1 on invalid (padded) rows."""
-        nb = neighbor_stack(seg)
-        diff = jnp.any(nb != seg[None], axis=0).reshape(-1)
-        gidx, n_total = _compact(diff, Kg)
-        gvalid = gidx >= 0
-        safe = jnp.maximum(gidx, 0)
-        if packed:
-            word = seg.astype(jnp.int32)
-            for k in range(6):
-                word = word | (nb[k].astype(jnp.int32) << (bits * (k + 1)))
+    nb = _neighbor_stack(sg)
+    diff = jnp.any(nb != sg[None], axis=0).reshape(-1)
+    gidx, n_total = _compact(diff, Kg)
+    gvalid = gidx >= 0
+    safe = jnp.maximum(gidx, 0)
+    if packed:
+        word = sg.astype(jnp.int32)
+        for k in range(6):
+            word = word | (nb[k].astype(jnp.int32) << (bits * (k + 1)))
+        if eq is not None:
             word = word | (
-                eq.reshape(seg.shape).astype(jnp.int32) << (7 * bits)
+                eq.reshape(sg.shape).astype(jnp.int32) << (7 * bits)
             )
-            # fence the take: XLA fuses the unpack shifts/selects below INTO
-            # the gather kernel, dragging them to per-index speed (measured
-            # 31 -> ~9 ms at Kg=782k, scripts/profile_surface_lists.py)
-            w_raw = lax.optimization_barrier(
-                jnp.take(word.reshape(-1), lax.optimization_barrier(safe))
-            )
-            w = jnp.where(gvalid, w_raw, jnp.int32(-1))
-            fmask = jnp.int32((1 << bits) - 1)
-            own = jnp.where(gvalid, w & fmask, jnp.int32(-1)).astype(jnp.int16)
-            nbv = jnp.stack([
-                jnp.where(
-                    gvalid, (w >> (bits * (k + 1))) & fmask, fsent
-                ).astype(jnp.int16)
-                for k in range(6)
-            ])
-            inside = gvalid & (((w >> (7 * bits)) & 1) == 1)
-        else:
-            own = jnp.where(gvalid, seg.reshape(-1)[safe], jnp.int16(-1))
-            nbv = jnp.where(
-                gvalid[None], nb.reshape(6, -1)[:, safe], jnp.int16(-1)
-            )
-            inside = gvalid & eq[safe]
-        z = safe // (W * D)
-        y = (safe // D) % W
-        x = safe % D
-        coords = jnp.where(
-            gvalid[None], jnp.stack([z, y, x]).astype(jnp.float32), _COORD_PAD
+        # fence the take so the unpack shifts/selects below cannot fuse
+        # into the gather kernel.  Measured effect in the FUSED whole
+        # program: none (surface_lists 68.3 -> 68.0 ms at Kg=782k,
+        # scripts/profile_surface_lists.py — the isolated gather+unpack
+        # piece reads 31 ms but pieces don't compose; XLA overlaps them) —
+        # kept as cheap insurance against future fusion regressions.
+        w_raw = lax.optimization_barrier(
+            jnp.take(word.reshape(-1), lax.optimization_barrier(safe))
         )
-        return own, nbv, coords, inside, n_total
-
-    own_f, nbv_f, gc_f, inside_f, n_total_f = volume_side(sf)
-    own_m, nbv_m, gc_m, inside_m, n_total_m = volume_side(sm)
+        w = jnp.where(gvalid, w_raw, jnp.int32(-1))
+        fmask = jnp.int32((1 << bits) - 1)
+        own = jnp.where(gvalid, w & fmask, jnp.int32(-1)).astype(jnp.int16)
+        nbv = jnp.stack([
+            jnp.where(
+                gvalid, (w >> (bits * (k + 1))) & fmask, fsent
+            ).astype(jnp.int16)
+            for k in range(6)
+        ])
+        inside = (
+            gvalid & (((w >> (7 * bits)) & 1) == 1)
+            if eq is not None
+            else jnp.zeros_like(gvalid)
+        )
+    else:
+        own = jnp.where(gvalid, sg.reshape(-1)[safe], jnp.int16(-1))
+        nbv = jnp.where(
+            gvalid[None], nb.reshape(6, -1)[:, safe], jnp.int16(-1)
+        )
+        inside = (
+            gvalid & eq[safe] if eq is not None else jnp.zeros_like(gvalid)
+        )
+    z = safe // (W * D)
+    y = (safe // D) % W
+    x = safe % D
+    coords = jnp.where(
+        gvalid[None], jnp.stack([z, y, x]).astype(jnp.float32), _COORD_PAD
+    )
 
     # compare-and-reduce, not bincount's per-index-bound scatter-add
     from convexadam_tpu.core.features import label_counts  # noqa: PLC0415
 
-    counts_f = label_counts(sf, num_labels + 1)
-    counts_m = label_counts(sm, num_labels + 1)
+    counts = label_counts(sg, num_labels + 1)
+    return SurfaceSide(own, nbv, coords, inside, gidx, counts, n_total)
+
+
+def _neighbor_stack(seg):
+    """(6, H, W, D) face-neighbour values (edge-replicated, so borders
+    never count as surface against the outside — matching scipy's EDT
+    which measures within the array)."""
+    outs = []
+    for ax in range(3):
+        outs.append(jnp.concatenate(
+            [seg.take(jnp.asarray([0]), axis=ax), seg], axis=ax
+        ).take(jnp.arange(seg.shape[ax]), axis=ax))
+        outs.append(jnp.concatenate(
+            [seg, seg.take(jnp.asarray([-1]), axis=ax)], axis=ax
+        ).take(jnp.arange(1, seg.shape[ax] + 1), axis=ax))
+    return jnp.stack(outs)
+
+
+def inside_flags(
+    side: SurfaceSide, seg_self: jax.Array, seg_other: jax.Array
+) -> jax.Array:
+    """Per-variant agreement bits for a CACHED side: surface voxel of label
+    l is inside the other volume's l-mask iff the volumes agree there.
+    One fenced Kg-index gather — the cross-volume cost of reusing a fixed
+    side across settings/variants instead of rebuilding its whole preamble."""
+    eq = (
+        seg_self.astype(jnp.int16) == seg_other.astype(jnp.int16)
+    ).reshape(-1).astype(jnp.int8)
+    gvalid = side.gidx >= 0
+    safe = jnp.maximum(side.gidx, 0)
+    got = lax.optimization_barrier(
+        jnp.take(eq, lax.optimization_barrier(safe))
+    )
+    return gvalid & (got == 1)
+
+
+def surface_lists(
+    seg_fixed: jax.Array,
+    seg_moving: jax.Array,
+    num_labels: int,
+    global_surface: "int | None" = None,
+) -> SurfaceLists:
+    """Full-volume preamble of :func:`hd95_device` for a volume PAIR: one
+    :func:`surface_side` per volume with the agreement bit packed into the
+    word gathers (bit-identical to the pre-split round-4 implementation)."""
+    f = surface_side(seg_fixed, num_labels, global_surface, seg_moving)
+    m = surface_side(seg_moving, num_labels, global_surface, seg_fixed)
     return SurfaceLists(
-        own_f, nbv_f, gc_f, inside_f,
-        own_m, nbv_m, gc_m, inside_m,
-        counts_f, counts_m, n_total_f, n_total_m,
+        f.own, f.nbv, f.gc, f.inside,
+        m.own, m.nbv, m.gc, m.inside,
+        f.counts, m.counts, f.n_total, m.n_total,
     )
 
 
@@ -547,112 +607,149 @@ def label_buffers(
       the flattened (L+1, 6 Kg) slot matrix: after dedup a voxel
       contributes at most one point per label, so slot rank == rank among
       contributing voxels."""
-    offs_host = []
-    acc = 0
-    for c in label_caps:
-        offs_host.append(acc)
-        acc += int(c)
-    M = acc
-    labs_iota = jnp.arange(num_labels + 1, dtype=jnp.int16)
-
-    def pack(gc):
-        """(3, K) integer-valued f32 coords → (K,) packed int32.
-
-        PRECONDITION: real coords lie in [0, MAX_PACKED_EXTENT) —
-        surface_lists raises beyond it, and :func:`caps_overflow` audits
-        the range on device for any other SurfaceLists producer (the clamp
-        here would otherwise corrupt silently).  Pad rows (_COORD_PAD)
-        clamp to 1023 and are only ever written through dropped scatter
-        targets."""
-        c = jnp.clip(gc.astype(jnp.int32), 0, 1023)
-        return (c[0] << 20) | (c[1] << 10) | c[2]
-
-    def unpack(buf):
-        """(M,) packed int32 (-1 = empty slot) → (3, M) f32, _COORD_PAD
-        pads."""
-        coords = jnp.stack(
-            [(buf >> 20) & 1023, (buf >> 10) & 1023, buf & 1023]
-        ).astype(jnp.float32)
-        return jnp.where(buf[None, :] < 0, _COORD_PAD, coords)
-
-    def build_side(own, nbv, gc, inside):
-        packed = pack(gc)
-        zeros = jnp.zeros(own.shape, jnp.int32)
-        # ---- inner: partition by own label, [inside | outside] segments
-        # ("inside the other volume's mask" = the volumes agree at the
-        # voxel — label-independent, precomputed in surface_lists)
-        onehot = own[None, :] == labs_iota[:, None]           # (L+1, Kg)
-        oh_in = onehot & inside[None, :]
-        ranks_in = jnp.cumsum(oh_in.astype(jnp.int32), axis=1) - 1
-        ranks_out = jnp.cumsum(
-            (onehot & ~inside[None, :]).astype(jnp.int32), axis=1
-        ) - 1
-        n_inside = ranks_in[:, -1] + 1
-        n_inner = n_inside + ranks_out[:, -1] + 1
-        # per-voxel values of the own label's rank row / segment base /
-        # cap / buffer offset — compare-select over the labels, not gathers
-        r_in = zeros
-        pos_out = zeros
-        cap_own = zeros
-        off_own = zeros
-        for lab in range(1, num_labels + 1):
-            m = own == lab
-            r_in = jnp.where(m, ranks_in[lab], r_in)
-            pos_out = jnp.where(m, n_inside[lab] + ranks_out[lab], pos_out)
-            cap_own = jnp.where(m, label_caps[lab], cap_own)
-            off_own = jnp.where(m, offs_host[lab], off_own)
-        pos = jnp.where(inside, r_in, pos_out)
-        valid = (own >= 1) & (pos < cap_own)
-        tgt = jnp.where(valid, off_own + pos, M)
-        inner_w = jnp.full((M,), -1, jnp.int32)
-        inner_w = inner_w.at[tgt].set(packed, mode="drop")
-        # ---- outer: expand the <=6 neighbour slots with in-voxel dedup
-        dedup = [jnp.ones(own.shape, bool)]
-        for k in range(1, 6):
-            seen = nbv[k] == nbv[0]
-            for kp in range(1, k):
-                seen = seen | (nbv[k] == nbv[kp])
-            dedup.append(~seen)
-        ovalid = (
-            (nbv != own[None])
-            & (nbv >= 1)
-            & (nbv <= num_labels)
-            & jnp.stack(dedup)
-            & (own >= 0)[None]
-        )                                                     # (6, Kg)
-        hit = jnp.zeros((num_labels + 1, own.shape[0]), bool)
-        for k in range(6):
-            hit = hit | (
-                ovalid[k][None, :] & (nbv[k][None, :] == labs_iota[:, None])
-            )
-        oranks = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1
-        outer_w = jnp.full((M,), -1, jnp.int32)
-        for k in range(6):
-            rank_k = zeros
-            cap_k = zeros
-            off_k = zeros
-            for lab in range(1, num_labels + 1):
-                m = nbv[k] == lab
-                rank_k = jnp.where(m, oranks[lab], rank_k)
-                cap_k = jnp.where(m, label_caps[lab], cap_k)
-                off_k = jnp.where(m, offs_host[lab], off_k)
-            ok = ovalid[k] & (rank_k < cap_k)
-            otgt = jnp.where(ok, off_k + rank_k, M)
-            outer_w = outer_w.at[otgt].set(packed, mode="drop")
-        n_outer = oranks[:, -1] + 1
-        return unpack(inner_w), unpack(outer_w), n_inner, n_inside, n_outer
-
-    inner_f, outer_f, n_inner_f, n_inside_f, n_outer_f = build_side(
-        pre.own_f, pre.nbv_f, pre.gc_f, pre.inside_f
+    inner_f, n_inner_f, n_inside_f = label_buffers_inner(
+        pre.own_f, pre.gc_f, pre.inside_f, num_labels, label_caps
     )
-    inner_m, outer_m, n_inner_m, n_inside_m, n_outer_m = build_side(
-        pre.own_m, pre.nbv_m, pre.gc_m, pre.inside_m
+    outer_f, n_outer_f = label_buffers_outer(
+        pre.own_f, pre.nbv_f, pre.gc_f, num_labels, label_caps
+    )
+    inner_m, n_inner_m, n_inside_m = label_buffers_inner(
+        pre.own_m, pre.gc_m, pre.inside_m, num_labels, label_caps
+    )
+    outer_m, n_outer_m = label_buffers_outer(
+        pre.own_m, pre.nbv_m, pre.gc_m, num_labels, label_caps
     )
     return LabelBuffers(
         inner_f, outer_f, inner_m, outer_m,
         n_inner_f, n_inner_m, n_inside_f, n_inside_m,
         n_outer_f, n_outer_m, pre.counts_f, pre.counts_m,
     )
+
+
+def _caps_offsets(label_caps):
+    offs_host = []
+    acc = 0
+    for c in label_caps:
+        offs_host.append(acc)
+        acc += int(c)
+    return offs_host, acc
+
+
+def _pack_coords(gc):
+    """(3, K) integer-valued f32 coords → (K,) packed int32.
+
+    PRECONDITION: real coords lie in [0, MAX_PACKED_EXTENT) —
+    surface_side raises beyond it, and :func:`caps_overflow` audits
+    the range on device for any other SurfaceLists producer (the clamp
+    here would otherwise corrupt silently).  Pad rows (_COORD_PAD)
+    clamp to 1023 and are only ever written through dropped scatter
+    targets."""
+    c = jnp.clip(gc.astype(jnp.int32), 0, 1023)
+    return (c[0] << 20) | (c[1] << 10) | c[2]
+
+
+def _unpack_coords(buf):
+    """(M,) packed int32 (-1 = empty slot) → (3, M) f32, _COORD_PAD pads."""
+    coords = jnp.stack(
+        [(buf >> 20) & 1023, (buf >> 10) & 1023, buf & 1023]
+    ).astype(jnp.float32)
+    return jnp.where(buf[None, :] < 0, _COORD_PAD, coords)
+
+
+def label_buffers_inner(
+    own: jax.Array,
+    gc: jax.Array,
+    inside: jax.Array,
+    num_labels: int,
+    label_caps: "tuple[int, ...]",
+):
+    """One side's INNER buffers: partition by own label with
+    [inside | outside] segments (raster within each).  ``inside`` ("in the
+    other volume's mask" = the volumes agree at the voxel) is the ONLY
+    cross-volume input — per-variant in the sweep engine's cached-side
+    mode (:func:`inside_flags`).  Returns (inner (3, M), n_inner,
+    n_inside)."""
+    offs_host, M = _caps_offsets(label_caps)
+    labs_iota = jnp.arange(num_labels + 1, dtype=jnp.int16)
+    packed = _pack_coords(gc)
+    zeros = jnp.zeros(own.shape, jnp.int32)
+    onehot = own[None, :] == labs_iota[:, None]           # (L+1, Kg)
+    oh_in = onehot & inside[None, :]
+    ranks_in = jnp.cumsum(oh_in.astype(jnp.int32), axis=1) - 1
+    ranks_out = jnp.cumsum(
+        (onehot & ~inside[None, :]).astype(jnp.int32), axis=1
+    ) - 1
+    n_inside = ranks_in[:, -1] + 1
+    n_inner = n_inside + ranks_out[:, -1] + 1
+    # per-voxel values of the own label's rank row / segment base /
+    # cap / buffer offset — compare-select over the labels, not gathers
+    r_in = zeros
+    pos_out = zeros
+    cap_own = zeros
+    off_own = zeros
+    for lab in range(1, num_labels + 1):
+        m = own == lab
+        r_in = jnp.where(m, ranks_in[lab], r_in)
+        pos_out = jnp.where(m, n_inside[lab] + ranks_out[lab], pos_out)
+        cap_own = jnp.where(m, label_caps[lab], cap_own)
+        off_own = jnp.where(m, offs_host[lab], off_own)
+    pos = jnp.where(inside, r_in, pos_out)
+    valid = (own >= 1) & (pos < cap_own)
+    tgt = jnp.where(valid, off_own + pos, M)
+    inner_w = jnp.full((M,), -1, jnp.int32)
+    inner_w = inner_w.at[tgt].set(packed, mode="drop")
+    return _unpack_coords(inner_w), n_inner, n_inside
+
+
+def label_buffers_outer(
+    own: jax.Array,
+    nbv: jax.Array,
+    gc: jax.Array,
+    num_labels: int,
+    label_caps: "tuple[int, ...]",
+):
+    """One side's OUTER buffers: expand the <=6 neighbour slots with
+    in-voxel dedup.  Depends on that side's volume ONLY — constant per
+    pair across settings/variants, so the sweep engine caches the fixed
+    side's result.  Returns (outer (3, M), n_outer)."""
+    offs_host, M = _caps_offsets(label_caps)
+    labs_iota = jnp.arange(num_labels + 1, dtype=jnp.int16)
+    packed = _pack_coords(gc)
+    zeros = jnp.zeros(own.shape, jnp.int32)
+    dedup = [jnp.ones(own.shape, bool)]
+    for k in range(1, 6):
+        seen = nbv[k] == nbv[0]
+        for kp in range(1, k):
+            seen = seen | (nbv[k] == nbv[kp])
+        dedup.append(~seen)
+    ovalid = (
+        (nbv != own[None])
+        & (nbv >= 1)
+        & (nbv <= num_labels)
+        & jnp.stack(dedup)
+        & (own >= 0)[None]
+    )                                                     # (6, Kg)
+    hit = jnp.zeros((num_labels + 1, own.shape[0]), bool)
+    for k in range(6):
+        hit = hit | (
+            ovalid[k][None, :] & (nbv[k][None, :] == labs_iota[:, None])
+        )
+    oranks = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1
+    outer_w = jnp.full((M,), -1, jnp.int32)
+    for k in range(6):
+        rank_k = zeros
+        cap_k = zeros
+        off_k = zeros
+        for lab in range(1, num_labels + 1):
+            m = nbv[k] == lab
+            rank_k = jnp.where(m, oranks[lab], rank_k)
+            cap_k = jnp.where(m, label_caps[lab], cap_k)
+            off_k = jnp.where(m, offs_host[lab], off_k)
+        ok = ovalid[k] & (rank_k < cap_k)
+        otgt = jnp.where(ok, off_k + rank_k, M)
+        outer_w = outer_w.at[otgt].set(packed, mode="drop")
+    n_outer = oranks[:, -1] + 1
+    return _unpack_coords(outer_w), n_outer
 
 
 def caps_overflow(

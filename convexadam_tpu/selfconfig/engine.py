@@ -139,14 +139,18 @@ def evaluate_field_semantic(
 ):
     """Warp the moving segmentation (nearest) and compute Dice / SDlogJ /
     negative-Jacobian fraction (convex_run_withconfig.py:138-152).
-    Returns (dice (L,), jstd, neg_frac, seg_warped)."""
+    Returns (dice (L,), jstd, neg_frac, seg_warped int16) — int16 because
+    a stage-2 batch stacks (P, 4, 4) warped L2R-scale volumes for the HD95
+    engine: f32 cost 4 GB of the 15.75 GB chip (observed OOM, round 5);
+    labels are <= int16 by the sweep contract."""
     seg_warped = warp_with_displacement(
         seg_moving[None].astype(jnp.float32), disp_hr, mode="nearest"
     )[0]
     dice = dice_coeff(seg_fixed, seg_warped, num_labels + 1)
     det = jacobian_determinant(disp_hr)
     logd = jnp.log(jnp.clip(det + 3.0, 0.000000001, 1000000000.0))
-    return dice, jnp.std(logd), jnp.mean((det < 0).astype(jnp.float32)), seg_warped
+    seg_w16 = jnp.round(seg_warped).astype(jnp.int16)
+    return dice, jnp.std(logd), jnp.mean((det < 0).astype(jnp.float32)), seg_w16
 
 
 # ---------------------------------------------------------------------------
@@ -234,17 +238,18 @@ def _make_hd95_batch_fn(
         _HD95_FN_CACHE.pop(next(iter(_HD95_FN_CACHE)))
 
     from convexadam_tpu.core.edt import (
+        LabelBuffers,
+        SurfaceLists,
         caps_overflow,
         hd95_from_buffers,
-        label_buffers,
-        surface_lists,
+        inside_flags,
+        label_buffers_inner,
+        label_buffers_outer,
+        surface_side,
     )
 
-    def local_fn(sf, sw):
-        v_shape = sw.shape[2:-3]
-        swf = sw.reshape(sw.shape[:2] + (-1,) + sw.shape[-3:])
-
-        n_vox = int(np.prod(sf.shape[-3:]))
+    def _groups_caps(shape3):
+        n_vox = int(np.prod(shape3))
         groups = (
             label_groups
             if label_groups is not None
@@ -257,16 +262,59 @@ def _make_hd95_batch_fn(
         for labs_g, k_g in groups:
             for lab in labs_g:
                 caps[lab] = k_g
-        caps = tuple(caps)
-        bf16ok = max(sf.shape[-3:]) <= 256
+        return groups, tuple(caps), max(shape3) <= 256
 
-        def per_v(sw_v, sf_i):
+    # the FIXED side's preamble and outer shell depend on the fixed volume
+    # only — computed ONCE per pair and shared across every setting and
+    # evaluation variant (stage-2 scores 16 variants per setting; the
+    # per-variant leftovers are one fenced Kg gather for the agreement
+    # bits + the fixed INNER partition, whose [inside|outside]
+    # segmentation needs them).  Callers amortize further by passing
+    # ``fn.prep(sf)``'s result back via ``sides=`` — one prep per SWEEP
+    # instead of one per setting batch.
+    def prep_local(sf):
+        _, caps, _ = _groups_caps(sf.shape[-3:])
+
+        def fixed_side(sf_i):
+            side = surface_side(sf_i, num_labels, global_surface)
+            outer, n_outer = label_buffers_outer(
+                side.own, side.nbv, side.gc, num_labels, caps
+            )
+            return side, outer, n_outer
+
+        return jax.lax.map(fixed_side, sf)
+
+    def local_fn(sf, sw, sides_f):
+        v_shape = sw.shape[2:-3]
+        swf = sw.reshape(sw.shape[:2] + (-1,) + sw.shape[-3:])
+        groups, caps, bf16ok = _groups_caps(sf.shape[-3:])
+
+        def per_v(sw_v, sf_i, side_f, outer_f, n_outer_f):
             seg_w = jnp.round(sw_v).astype(jnp.int32)
-            # full-volume preamble + per-label partition ONCE per
-            # (pair, variant); the per-group half only runs the per-label
-            # K x K searches
-            pre = surface_lists(sf_i, seg_w, num_labels, global_surface)
-            bufs = label_buffers(pre, num_labels, caps)
+            side_m = surface_side(
+                seg_w, num_labels, global_surface, seg_other=sf_i
+            )
+            in_f = inside_flags(side_f, sf_i, seg_w)
+            inner_f, n_inner_f, n_inside_f = label_buffers_inner(
+                side_f.own, side_f.gc, in_f, num_labels, caps
+            )
+            inner_m, n_inner_m, n_inside_m = label_buffers_inner(
+                side_m.own, side_m.gc, side_m.inside, num_labels, caps
+            )
+            outer_m, n_outer_m = label_buffers_outer(
+                side_m.own, side_m.nbv, side_m.gc, num_labels, caps
+            )
+            bufs = LabelBuffers(
+                inner_f, outer_f, inner_m, outer_m,
+                n_inner_f, n_inner_m, n_inside_f, n_inside_m,
+                n_outer_f, n_outer_m, side_f.counts, side_m.counts,
+            )
+            pre = SurfaceLists(
+                side_f.own, side_f.nbv, side_f.gc, in_f,
+                side_m.own, side_m.nbv, side_m.gc, side_m.inside,
+                side_f.counts, side_m.counts,
+                side_f.n_total, side_m.n_total,
+            )
             parts = [
                 hd95_from_buffers(
                     bufs, caps, k, label_chunk=label_chunk, labels=labs,
@@ -279,11 +327,13 @@ def _make_hd95_batch_fn(
             )
 
         def per_p(args):
-            sf_i, sw_i = args
-            return jax.lax.map(lambda s: per_v(s, sf_i), sw_i)
+            sf_i, (side_f, outer_f, n_outer_f), sw_i = args
+            return jax.lax.map(
+                lambda s: per_v(s, sf_i, side_f, outer_f, n_outer_f), sw_i
+            )
 
         def per_g(sw_g):
-            return jax.lax.map(per_p, (sf, sw_g))
+            return jax.lax.map(per_p, (sf, sides_f, sw_g))
 
         out, over = jax.lax.map(per_g, swf)  # (G_loc, P_loc, V')
         return (
@@ -291,44 +341,61 @@ def _make_hd95_batch_fn(
             over.reshape(sw.shape[:2] + v_shape),
         )
 
+    def local_inline(sf, sw):
+        return local_fn(sf, sw, prep_local(sf))
+
     if mesh is None:
-        fn = jax.jit(local_fn)
-        _HD95_FN_CACHE[key] = fn
-        return fn
+        score2 = jax.jit(local_inline)
+        score3 = jax.jit(local_fn)
+        prep = jax.jit(prep_local)
+    else:
+        from jax.experimental.shard_map import shard_map
 
-    from jax.experimental.shard_map import shard_map
+        names = mesh.axis_names
+        set_ax = "setting" if "setting" in names else None
+        pair_ax = "pair" if "pair" in names else None
+        p_pair = PartitionSpec(pair_ax)
+        p_gp = PartitionSpec(set_ax, pair_ax)
+        body_out = (p_gp, p_gp)
 
-    names = mesh.axis_names
-    set_ax = "setting" if "setting" in names else None
-    pair_ax = "pair" if "pair" in names else None
-    body_out = (
-        PartitionSpec(set_ax, pair_ax), PartitionSpec(set_ax, pair_ax)
-    )
-    try:
-        # check_vma=False: the body is purely local (no collectives); the
-        # varying-manual-axes type check rejects data-independent scan
-        # carries inside otherwise
-        sharded = shard_map(
-            local_fn,
-            mesh=mesh,
-            in_specs=(PartitionSpec(pair_ax), PartitionSpec(set_ax, pair_ax)),
-            out_specs=body_out,
-            check_vma=False,
+        def _shmap(f, in_specs, out_specs):
+            try:
+                # check_vma=False: the body is purely local (no
+                # collectives); the varying-manual-axes type check rejects
+                # data-independent scan carries inside otherwise
+                return shard_map(
+                    f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                    check_vma=False,
+                )
+            except TypeError:  # older JAX spells it check_rep
+                return shard_map(
+                    f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                    check_rep=False,
+                )
+
+        out_spec = (
+            PartitionSpec() if jax.process_count() > 1
+            else p_gp
         )
-    except TypeError:  # older JAX spells it check_rep
-        sharded = shard_map(
-            local_fn,
-            mesh=mesh,
-            in_specs=(PartitionSpec(pair_ax), PartitionSpec(set_ax, pair_ax)),
-            out_specs=body_out,
-            check_rep=False,
+        sh = NamedSharding(mesh, out_spec)
+        # sides ride sharded along the pair axis like sf (p_pair is a
+        # pytree-prefix spec applied to every leaf of the sides pytree)
+        score2 = jax.jit(
+            _shmap(local_inline, (p_pair, p_gp), body_out),
+            out_shardings=(sh, sh),
         )
-    out_spec = (
-        PartitionSpec() if jax.process_count() > 1
-        else PartitionSpec(set_ax, pair_ax)
-    )
-    sh = NamedSharding(mesh, out_spec)
-    fn = jax.jit(sharded, out_shardings=(sh, sh))
+        score3 = jax.jit(
+            _shmap(local_fn, (p_pair, p_gp, p_pair), body_out),
+            out_shardings=(sh, sh),
+        )
+        prep = jax.jit(_shmap(prep_local, (p_pair,), p_pair))
+
+    def fn(sf, sw, sides=None):
+        if sides is None:
+            return score2(sf, sw)
+        return score3(sf, sw, sides)
+
+    fn.prep = prep
     _HD95_FN_CACHE[key] = fn
     return fn
 
@@ -632,6 +699,8 @@ def run_stage1_sweep(
     sf_d = _dev(segs_np[fi_p], pair_sh)
     sm_d = _dev(segs_np[mi_p], pair_sh)
     gt_sharded = sf_d if hd95_fn is not None else None
+    # fixed-side preamble once per SWEEP (shared by every setting batch)
+    hd95_sides = hd95_fn.prep(gt_sharded) if hd95_fn is not None else None
     chunks = _chunked_setting_groups(
         settings, lambda st: (st.grid_sp, st.disp_hw), setting_batch
     )
@@ -657,7 +726,7 @@ def run_stage1_sweep(
                 # layout, then only the (G, P) scalars come back.  Padded
                 # setting rows (axis 0) are dropped here so the rare exact
                 # rescore below never re-downloads duplicate rows.
-                hd_dev, ov_dev = hd95_fn(gt_sharded, seg_warped)
+                hd_dev, ov_dev = hd95_fn(gt_sharded, seg_warped, hd95_sides)
                 hd_batch = np.asarray(hd_dev)[: len(idxs), :P].copy()
                 ov = np.asarray(ov_dev)[: len(idxs), :P]
             else:
@@ -790,7 +859,14 @@ def _stage2_pair(
         sw_v = jnp.stack([o[3] for o in out])
         return dice_v, js_v, nf_v, sw_v
 
-    dice_g, js_g, nf_g, sw_g = jax.vmap(eval_variant)(snaps)  # (4 iters, 4 smooth, ...)
+    # sequential over the 4 snapshot variants, NOT vmapped: at L2R scale
+    # (192x160x256) the vmapped evaluation materialized the jacobian/warp
+    # intermediates for ALL iteration variants at once — with the pair vmap
+    # outside, a single (1,8,4,3,3,H,W,D) temp = 8.4 GB and a 26 GB program
+    # on a 15.75 GB chip (observed OOM, round 5).  One chip core executes
+    # programs serially anyway (ROADMAP round-4 overlap measurement), so
+    # sequencing costs nothing and caps the live set at one variant.
+    dice_g, js_g, nf_g, sw_g = jax.lax.map(eval_variant, snaps)
     return dice_g, js_g, nf_g, sw_g
 
 
@@ -889,12 +965,24 @@ def run_stage2_sweep(
             if compute_hd95:
                 return dice_g, js_g, nf_g, sw_g
             return dice_g, js_g, nf_g  # warped segs DCE'd — saves HBM
+        if mesh is None:
+            # SEQUENTIAL over pairs on a single device: the pair vmap only
+            # buys concurrency when the pair axis is sharded over a mesh —
+            # one chip executes serially anyway (ROADMAP round-4 overlap
+            # measurement), while vmap makes XLA materialize every pair's
+            # Adam state at once (8 pairs x 112-channel f32 corner stacks
+            # = 3.6 GB at L2R scale; observed stage-2 OOM, round 5)
+            f1 = lambda pf, pm, sf, sm, dl, mult, lw: jax.lax.map(  # noqa: E731
+                lambda a: pair_fn(*a, mult, lw), (pf, pm, sf, sm, dl)
+            )
+            f = jax.vmap(                                           # settings
+                f1, in_axes=(None, None, None, None, None, None, 0)
+            )
+            return jax.jit(f)
         f = jax.vmap(pair_fn, in_axes=(0, 0, 0, 0, 0, None, None))  # pairs
         f = jax.vmap(                                               # settings
             f, in_axes=(None, None, None, None, None, None, 0)
         )
-        if mesh is None:
-            return jax.jit(f)
         n_out = 4 if compute_hd95 else 3
         return jax.jit(
             f,
@@ -914,6 +1002,8 @@ def run_stage2_sweep(
             label_groups=label_groups, global_surface=k_global,
         )
     gt_sharded = sf_d if hd95_fn is not None else None
+    # fixed-side preamble once per SWEEP (shared by every setting batch)
+    hd95_sides = hd95_fn.prep(gt_sharded) if hd95_fn is not None else None
     chunks = _chunked_setting_groups(
         adam_settings,
         lambda st: (st.grid_sp_adam, st.effective_avg_n),
@@ -940,7 +1030,7 @@ def run_stage2_sweep(
             if hd95_fn is not None:
                 # (G, P, 4, 4) per-case label-mean HD95, on device; padded
                 # setting rows dropped so the rescore never duplicates work
-                hd_dev, ov_dev = hd95_fn(gt_sharded, sw_g)
+                hd_dev, ov_dev = hd95_fn(gt_sharded, sw_g, hd95_sides)
                 hd_batch = np.asarray(hd_dev)[: len(idxs), :P].copy()
                 ov = np.asarray(ov_dev)[: len(idxs), :P]
             else:

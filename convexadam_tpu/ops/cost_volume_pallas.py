@@ -71,9 +71,13 @@ def _pick_tile_h(feat_shape, disp_hw: int, dtype_bytes: int):
     d_pad = -(-(d + 2 * q) // 128) * 128
     d_lane = -(-d // 128) * 128
     budget = 10 * 1024 * 1024
-    # TH=1 would fit almost anything but degrades to tiny grid steps —
-    # prefer the XLA scan below TH=2
-    for TH in (8, 4, 2):
+    # TH=8 ONLY: smaller H-tiles make the slab DMA's dim-1 window start at
+    # non-8-aligned offsets (ih*TH), and Mosaic rejects the program
+    # ("Failed to prove that a tile index in dimension 2 is divisible by
+    # the tiling (8)" — observed on-chip at (14, 96, 80, 128) q=2, where
+    # the VMEM budget forced TH=2; every previously validated shape had
+    # TH=8).  Shapes that don't fit at TH=8 take the XLA scan.
+    for TH in (8,):
         if h % TH:
             continue
         scratch = C * (TH + 2 * q) * w * d_pad * dtype_bytes

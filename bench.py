@@ -188,46 +188,64 @@ def bench_stage2():
     )
 
 
-def main():
-    import jax
+def headline_fixture(shape=(192, 192, 192), shift=(5, -4, 3), seed=0):
+    """The headline pair: smooth random texture + a known integer shift.
+
+    Shared by bench.py and scripts/measure_strided_adam.py so the stride
+    measurements committed to ROADMAP/docstrings use the bench's exact
+    fixture and accuracy definition."""
     import jax.numpy as jnp
 
+    from convexadam_tpu.core.warp import resize_trilinear
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal([s // 4 for s in shape]).astype(np.float32)
+    vol = np.asarray(resize_trilinear(jnp.asarray(base)[None], shape)[0])
+    vol = (vol - vol.mean()) / vol.std() * 100
+    moving = np.roll(vol, shift, axis=(0, 1, 2))
+    return jnp.asarray(vol), jnp.asarray(moving), np.array(shift, np.float32)
+
+
+def time_headline_cfg(a, b, shift, cfg, n_runs: int = 5):
+    """Time ``convex_adam_jax(a, b, cfg)`` and score shift recovery.
+
+    Returns (pairs_per_sec, frac_within_1vox, mean_err_vox) — the bench's
+    accuracy-guard definition (central crop, all-axes |err| < 1 voxel)."""
+    import jax
+
+    from convexadam_tpu.pipeline.convex_adam import convex_adam_jax
+
+    fn = jax.jit(lambda x, y: convex_adam_jax(x, y, cfg))
+    fn(a, b).block_until_ready()  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        out = fn(a, b)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_runs
+    d = np.asarray(out, dtype=np.float32)
+    c = min(32, min(d.shape[:3]) // 4)  # central crop (32 at 192^3)
+    err = np.abs(d[c:-c, c:-c, c:-c] - shift)
+    frac_ok = float(np.mean(np.all(err < 1.0, axis=-1)))
+    return 1.0 / dt, frac_ok, float(err.mean())
+
+
+def main():
     from convexadam_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()  # warm-up compile skipped on repeat runs
 
-    from convexadam_tpu.core.warp import resize_trilinear
-    from convexadam_tpu.pipeline.convex_adam import ConvexAdamConfig, convex_adam_jax
+    from convexadam_tpu.pipeline.convex_adam import ConvexAdamConfig
 
-    shape = (192, 192, 192)
-    rng = np.random.default_rng(0)
-    base = rng.standard_normal([s // 4 for s in shape]).astype(np.float32)
-    vol = np.asarray(resize_trilinear(jnp.asarray(base)[None], shape)[0])
-    vol = (vol - vol.mean()) / vol.std() * 100
-    moving = np.roll(vol, (5, -4, 3), axis=(0, 1, 2))
-
-    a = jnp.asarray(vol)
-    b = jnp.asarray(moving)
+    a, b, shift = headline_fixture()
 
     def run_cfg(cfg):
-        fn = jax.jit(lambda x, y: convex_adam_jax(x, y, cfg))
-        fn(a, b).block_until_ready()  # compile + warmup
-        n_runs = 5
-        t0 = time.perf_counter()
-        for _ in range(n_runs):
-            out = fn(a, b)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / n_runs
+        pairs_per_sec, frac_ok, _ = time_headline_cfg(a, b, shift, cfg)
         # sanity: the synthetic shift must be recovered (guards against a
         # "fast but wrong" bench)
-        d = np.asarray(out, dtype=np.float32)
-        c = 32
-        err = np.abs(d[c:-c, c:-c, c:-c] - np.array([5, -4, 3], np.float32))
-        frac_ok = float(np.mean(np.all(err < 1.0, axis=-1)))
         assert frac_ok > 0.9, (
             f"accuracy regression: {frac_ok:.2%} within 1 voxel"
         )
-        return 1.0 / dt
+        return pairs_per_sec
 
     # default dtype="auto" resolves to bfloat16 on TPU (the production
     # precision policy — tests pin its accuracy envelope vs f32)

@@ -250,8 +250,11 @@ def _nearest_sq(
     # skip-aware fallback (the Pallas path above skips dead blocks in its
     # grid): bound the trip count by the LIVE target count — chunks
     # entirely past n_target are all-pad and cannot win, so the CPU engine
-    # and the CONVEXADAM_HD95_PALLAS=0 kill switch stop paying full K^2
-    nt = jnp.asarray(n_target, jnp.int32)
+    # and the CONVEXADAM_HD95_PALLAS=0 kill switch stop paying full K^2.
+    # Clamp to the buffer: on cap overflow the TRUE count exceeds Kt and
+    # an unclamped bound would re-read the clamped last chunk ~(nt-Kt)/chunk
+    # times for nothing (those cases get exactly re-scored later anyway).
+    nt = jnp.minimum(jnp.asarray(n_target, jnp.int32), jnp.int32(Kt))
 
     def cond(st):
         c, _ = st
@@ -268,10 +271,16 @@ def _nearest_sq(
 def _pruned_search_enabled(K: int) -> bool:
     """Whether :func:`hd95_from_buffers` uses the bucketed-grid pruned
     Pallas search (ops/edt_pallas.py:nearest_sq_pruned_pallas) — the TPU
-    default; the CONVEXADAM_HD95_PALLAS=0 kill switch and non-128-multiple
-    buffers fall back to the shared-tile dual pass."""
+    default; the CONVEXADAM_HD95_PALLAS=0 kill switch, non-128-multiple
+    buffers, and buffers whose whole target set exceeds a safe VMEM
+    residency (the pruned kernel keeps ALL (Gj, 3, bt) target blocks
+    VMEM-resident at 12 B/point — the tiled dual pass streams any K) fall
+    back to the shared-tile dual pass."""
     return (
-        jax.default_backend() == "tpu" and K % 128 == 0 and _pallas_enabled()
+        jax.default_backend() == "tpu"
+        and K % 128 == 0
+        and K * 12 <= 6 * 1024 * 1024  # target slab <= 6 MB (~524k points)
+        and _pallas_enabled()
     )
 
 
@@ -816,12 +825,7 @@ def hd95_from_buffers(
             raise ValueError(
                 f"label {lab} has cap {label_caps[lab]} != bucket K {K}"
             )
-    offs_host = []
-    acc = 0
-    for c in label_caps:
-        offs_host.append(acc)
-        acc += int(c)
-    offs = jnp.asarray(offs_host, jnp.int32)
+    offs = jnp.asarray(_caps_offsets(label_caps)[0], jnp.int32)
     iota_k = jnp.arange(K, dtype=jnp.int32)
 
     def one_label(lab):

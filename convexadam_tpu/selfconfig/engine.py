@@ -670,10 +670,19 @@ def run_stage1_sweep(
             if compute_hd95:
                 return d, js, nf, sw
             return d, js, nf  # unused warped seg is DCE'd — saves HBM
+        if mesh is None:
+            # SEQUENTIAL over pairs on one device (same rationale as the
+            # stage-2 pass B): the pair vmap multiplies the K^3 cost-volume
+            # temps by P — the (grid_sp=4, disp_hw=4) class alone held two
+            # (729, 8, 48, 40, 64) f32 temps = 10.7 GB padded and OOM'd the
+            # 15.75 GB chip (observed on the 100-setting protocol, round 5)
+            f1 = lambda pf, pm, sf, sm, mult: jax.lax.map(  # noqa: E731
+                lambda a: pair_fn(*a, mult), (pf, pm, sf, sm)
+            )
+            f = jax.vmap(f1, in_axes=(None, None, None, None, 0))  # settings
+            return jax.jit(f)
         f = jax.vmap(pair_fn, in_axes=(0, 0, 0, 0, None))       # pairs
         f = jax.vmap(f, in_axes=(None, None, None, None, 0))    # settings
-        if mesh is None:
-            return jax.jit(f)
         n_out = 4 if compute_hd95 else 3
         return jax.jit(
             f,

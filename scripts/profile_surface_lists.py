@@ -46,16 +46,7 @@ def main():
     bits = (L + 1).bit_length()
     print(f"# N={N} Kg={kg} bits={bits}", flush=True)
 
-    def neighbor_stack(seg):
-        outs = []
-        for ax in range(3):
-            outs.append(jnp.concatenate(
-                [seg.take(jnp.asarray([0]), axis=ax), seg], axis=ax
-            ).take(jnp.arange(seg.shape[ax]), axis=ax))
-            outs.append(jnp.concatenate(
-                [seg, seg.take(jnp.asarray([-1]), axis=ax)], axis=ax
-            ).take(jnp.arange(1, seg.shape[ax] + 1), axis=ax))
-        return jnp.stack(outs)
+    from convexadam_tpu.core.edt import _neighbor_stack as neighbor_stack
 
     # 1. neighbour stack + diff
     def p1(i, a):

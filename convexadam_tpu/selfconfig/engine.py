@@ -553,6 +553,47 @@ def _chunked_setting_groups(settings, key_fn, chunk: int):
     return out
 
 
+def _compile_ahead(make_fn, chunks, completed, example_args):
+    """Compile-ahead scheduler: AOT-lower + compile each distinct shape
+    class in worker threads so remote XLA compiles overlap device execution
+    of earlier classes.
+
+    The reference pays no compile cost (eager torch); under jit every
+    (grid_sp, disp_hw) class is a separate XLA program and the remote TPU
+    compile service takes 30 s – minutes per program, which would serialize
+    against the sweep (the 100-setting protocol has 22 stage-1 + 20 stage-2
+    classes).  Compiles are chipless (AOT) so they are pure host/tunnel
+    work, safe to overlap with chip execution; the first class still
+    blocks.  Returns ``{key: Future[jax.stages.Compiled]}`` (the main loop
+    calls ``fut.result()``, so compile errors surface exactly where the
+    inline compile would raise) or None when disabled.
+
+    ``CONVEXADAM_COMPILE_WORKERS``: 0 disables (inline compiles), 1
+    (default) pipelines compiles behind execution, >1 additionally issues
+    that many remote compiles concurrently.
+    """
+    import os  # noqa: PLC0415
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    workers = int(os.environ.get("CONVEXADAM_COMPILE_WORKERS", "1"))
+    keys: list = []
+    for key, idxs in chunks:
+        if completed.issuperset(idxs) or key in keys:
+            continue
+        keys.append(key)
+    if workers <= 0 or len(keys) <= 1:
+        return None
+    ex = ThreadPoolExecutor(max_workers=workers)
+    futs = {
+        key: ex.submit(
+            lambda k=key: make_fn(*k).lower(*example_args).compile()
+        )
+        for key in keys
+    }
+    ex.shutdown(wait=False)  # threads finish on their own
+    return futs
+
+
 # ---------------------------------------------------------------------------
 # stage 1
 # ---------------------------------------------------------------------------
@@ -713,11 +754,18 @@ def run_stage1_sweep(
     chunks = _chunked_setting_groups(
         settings, lambda st: (st.grid_sp, st.disp_hw), setting_batch
     )
+    futs = _compile_ahead(
+        make_fn, chunks, completed,
+        (pf_d, pm_d, sf_d, sm_d,
+         _mg(np.zeros(setting_batch, np.float32), set_sh)),
+    )
     for key, idxs in chunks:
         if completed.issuperset(idxs):
             continue  # resume: this batch is already in the checkpoint
         if key not in compiled:
-            compiled[key] = make_fn(*key)
+            compiled[key] = (
+                futs[key].result() if futs is not None else make_fn(*key)
+            )
         mults = _pad_axis0(
             np.array([settings[i].nn_mult for i in idxs], np.float32),
             setting_batch,
@@ -1018,11 +1066,19 @@ def run_stage2_sweep(
         lambda st: (st.grid_sp_adam, st.effective_avg_n),
         setting_batch,
     )
+    futs = _compile_ahead(
+        make_fn, chunks, completed,
+        (pf_d, pm_d, sf_d, sm_d, disps_lr,
+         np.float32(convex_setting.nn_mult),
+         _mg(np.zeros(setting_batch, np.float32), set_sh)),
+    )
     for key, idxs in chunks:
         if completed.issuperset(idxs):
             continue  # resume: this batch is already in the checkpoint
         if key not in compiled:
-            compiled[key] = make_fn(*key)
+            compiled[key] = (
+                futs[key].result() if futs is not None else make_fn(*key)
+            )
         lws = _pad_axis0(
             np.array([adam_settings[i].lambda_weight for i in idxs], np.float32),
             setting_batch,

@@ -96,6 +96,28 @@ def test_stage1_sweep_end_to_end():
     assert res.dice[res.best, 0] > d0
 
 
+def test_sweep_compile_ahead_matches_inline(monkeypatch):
+    """The compile-ahead scheduler (engine._compile_ahead, default
+    CONVEXADAM_COMPILE_WORKERS=1) AOT-compiles shape classes in worker
+    threads and the main loop calls the jax.stages.Compiled objects; with
+    workers=0 the loop compiles inline via the jit path.  Metrics must be
+    bitwise identical."""
+    preds, segs = _synthetic_dataset()
+    pairs = [(0, 1), (1, 2)]
+    settings = [
+        Stage1Setting(nn_mult=10, grid_sp=3, disp_hw=2),
+        Stage1Setting(nn_mult=5, grid_sp=4, disp_hw=3),
+        Stage1Setting(nn_mult=7, grid_sp=3, disp_hw=2),  # repeats key 1
+    ]
+    res_ahead = run_stage1_sweep(preds, segs, pairs, settings, num_labels=2)
+    monkeypatch.setenv("CONVEXADAM_COMPILE_WORKERS", "0")
+    res_inline = run_stage1_sweep(preds, segs, pairs, settings, num_labels=2)
+    np.testing.assert_array_equal(res_ahead.dice, res_inline.dice)
+    np.testing.assert_array_equal(res_ahead.jstd, res_inline.jstd)
+    np.testing.assert_array_equal(res_ahead.hd95, res_inline.hd95)
+    assert res_ahead.best == res_inline.best
+
+
 def test_stage2_sweep_end_to_end():
     preds, segs = _synthetic_dataset()
     pairs = [(0, 1)]

@@ -330,6 +330,20 @@ def _tp_convex_fn(
 COST_VOLUME_STREAM_THRESHOLD = 12_000_000_000
 
 
+def _cost_volume_voxels(shape, backend: str) -> int:
+    """Per-candidate voxel count of a (K3, 1, H', W', D') cost-volume temp
+    as ACTUALLY ALLOCATED: XLA:TPU tiles the two minor dims to (8, 128), so
+    e.g. grid_sp=3 at 192x160x256 pads (64, 53, 85) to (64, 56, 128) —
+    1.59x.  Sizing the stream-vs-dense estimate by the unpadded count let
+    the (grid_sp=3, disp_hw=7) class compile dense and OOM the chip with
+    two 5.77 GiB padded smoothing temps (100-setting protocol, round 5)."""
+    dims = list(shape)
+    if backend == "tpu" and len(dims) >= 2:
+        dims[-1] = -(-dims[-1] // 128) * 128
+        dims[-2] = -(-dims[-2] // 8) * 8
+    return int(np.prod(dims))
+
+
 def convex_displacement(
     feat_fix: jax.Array,
     feat_mov: jax.Array,
@@ -352,12 +366,13 @@ def convex_displacement(
     from convexadam_tpu.core.cost_volume import correlate, displacement_mesh
 
     K3 = (2 * disp_hw + 1) ** 3
-    n = int(np.prod(feat_fix.shape[1:]))
+    backend = jax.default_backend()
+    n = _cost_volume_voxels(feat_fix.shape[1:], backend)
     # the TPU Pallas cost-volume path materialises the volume in float32
     # regardless of compute_dtype — size the estimate by what is actually
     # allocated, or bf16 configs near the threshold still fail to compile
     itemsize = jnp.dtype(compute_dtype).itemsize
-    if metric == "ssd" and jax.default_backend() == "tpu":
+    if metric == "ssd" and backend == "tpu":
         itemsize = max(itemsize, 4)
     if K3 * n * itemsize * 2 > stream_threshold:
         return correlate_coupled_streamed(

@@ -201,6 +201,27 @@ def test_convex_displacement_dispatch(rng):
     np.testing.assert_array_equal(np.asarray(streamed), np.asarray(dense))
 
 
+def test_cost_volume_stream_estimate_uses_padded_dims():
+    """The stream-vs-dense estimate must size cost-volume temps as XLA:TPU
+    actually allocates them — (8, 128)-tiled minor dims.  The unpadded
+    estimate let (grid_sp=3, disp_hw=7) at 192x160x256 compile dense and
+    OOM the chip (round-5 protocol run): (64, 53, 85) pads to
+    (64, 56, 128), 1.59x."""
+    from convexadam_tpu.core.convex import (
+        COST_VOLUME_STREAM_THRESHOLD,
+        _cost_volume_voxels,
+    )
+
+    assert _cost_volume_voxels((64, 53, 85), "cpu") == 64 * 53 * 85
+    assert _cost_volume_voxels((64, 53, 85), "tpu") == 64 * 56 * 128
+    # the class that OOM'd must now stream; the calibrated-dense (2,5)
+    # class (unpadded dims at this shape) must stay dense
+    est_3_7 = 15 ** 3 * _cost_volume_voxels((64, 53, 85), "tpu") * 4 * 2
+    est_2_5 = 11 ** 3 * _cost_volume_voxels((96, 80, 128), "tpu") * 4 * 2
+    assert est_3_7 > COST_VOLUME_STREAM_THRESHOLD
+    assert est_2_5 <= COST_VOLUME_STREAM_THRESHOLD
+
+
 def test_convex_displacement_tp_matches_single_device(rng):
     """The displacement-axis-sharded convex stage (SURVEY §2.6 TP row) on
     an 8-device mesh must match the exact single-device VPU form bit for

@@ -246,10 +246,9 @@ def _tp_convex_fn(
     round-trip the slow remote compiler's cache — on EVERY direction of
     every pair."""
     from jax.sharding import PartitionSpec
-    try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
-        from jax.shard_map import shard_map  # type: ignore
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map  # type: ignore
 
     from convexadam_tpu.core.cost_volume import displacement_mesh
 

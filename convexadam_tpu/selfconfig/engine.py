@@ -349,7 +349,9 @@ def _make_hd95_batch_fn(
         score3 = jax.jit(local_fn)
         prep = jax.jit(prep_local)
     else:
-        from jax.experimental.shard_map import shard_map
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # older jax
+            from jax.experimental.shard_map import shard_map
 
         names = mesh.axis_names
         set_ax = "setting" if "setting" in names else None
@@ -824,6 +826,10 @@ def run_stage1_sweep(
                     f"jstd={jstd[s,0]:.4f} hd95={hd[s]:.3f} t={times[s]:.2f}s"
                 )
         completed.update(int(i) for i in idxs)
+        # release this class's device buffers before the next class's
+        # programs execute (see the stage-2 loop: holding the previous
+        # warped-seg batch across the rebind runtime-OOM'd the protocol)
+        out = d = js = nf = seg_warped = hd_dev = ov_dev = None  # noqa: F841
         if ck is not None:
             ck.save(dict(dice=dice, jstd=jstd, hd95=hd, times=times,
                          completed=np.array(sorted(completed), np.int64)))
@@ -854,7 +860,7 @@ def run_stage1_sweep(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_sp_adam", "avg_n", "num_labels"),
+    static_argnames=("grid_sp_adam", "avg_n", "num_labels", "feat_dtype"),
 )
 def _stage2_pair(
     pred_fixed,
@@ -867,14 +873,34 @@ def _stage2_pair(
     grid_sp_adam: int,
     avg_n: int,
     num_labels: int,
+    feat_dtype: str = "auto",
 ):
     """One pair x one Adam setting → metrics over the 4x4 evaluation grid
-    (adam_run_withconfig_shiftSpline.py:175-263)."""
+    (adam_run_withconfig_shiftSpline.py:175-263).
+
+    ``feat_dtype``: precision of the pooled Adam features — "auto"
+    (bfloat16 on TPU, float32 elsewhere: the SAME production policy as
+    ConvexAdamConfig.dtype), "float32", or "bfloat16".  On TPU this is
+    also a capacity requirement, not just a speed choice: the
+    grid_sp_adam=1 (full-resolution) classes hold the corner stack AND the
+    per-iteration gathered-corner temp at 8C channels each — f32 put the
+    eval program at 15.6 GiB of HLO temps (runtime ResourceExhausted on
+    the 15.75 GiB chip, observed on the 75-setting protocol); bf16 halves
+    them (13.9 -> 7.5 GiB Adam-loop temps, AOT-measured)."""
     H, W, D = pred_fixed.shape
     g2 = grid_sp_adam
-    ff, fm = semantic_features(pred_fixed, pred_moving, num_labels=num_labels + 1, mult=1.0)
-    ff = ff * nn_mult
-    fm = fm * nn_mult
+    if feat_dtype == "auto":
+        dt = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+    else:
+        dt = jnp.bfloat16 if feat_dtype == "bfloat16" else jnp.float32
+    ff, fm = semantic_features(
+        pred_fixed, pred_moving, num_labels=num_labels + 1, mult=1.0,
+        dtype=dt,
+    )
+    ff = ff * nn_mult.astype(dt)
+    fm = fm * nn_mult.astype(dt)
     # data-term scale = per-pair count of jointly-present labels (the sweep's
     # `n_ch`, adam_run_withconfig_shiftSpline.py:195,229)
     counts = label_counts(pred_fixed, num_labels + 1) + label_counts(
@@ -941,10 +967,15 @@ def run_stage2_sweep(
     setting_batch: Optional[int] = None,
     resume: bool = False,
     hd95_mode: "str | None" = None,
+    feat_dtype: str = "auto",
 ) -> SweepResult:
     """Stage-2 semantic sweep: cache best-convex fields (pass A), then sweep
     Adam settings x 16 evaluation variants (pass B), rank over the flattened
     S x 16 grid (adam_run_withconfig_shiftSpline.py:43-307).
+
+    ``feat_dtype``: Adam feature precision, "auto" (bf16 on TPU — the
+    production policy AND a capacity requirement for the grid_sp_adam=1
+    classes, see :func:`_stage2_pair`) / "float32" / "bfloat16".
 
     Like :func:`run_stage1_sweep`, a (setting, pair) ``mesh`` fans the sweep
     out across devices: settings sharing the (grid_sp_adam, avg_n) shape key
@@ -1018,6 +1049,7 @@ def run_stage2_sweep(
             dice_g, js_g, nf_g, sw_g = _stage2_pair(
                 pf, pm, sf, sm, dl, mult, lw,
                 grid_sp_adam=grid_sp_adam, avg_n=avg_n, num_labels=num_labels,
+                feat_dtype=feat_dtype,
             )
             if compute_hd95:
                 return dice_g, js_g, nf_g, sw_g
@@ -1143,6 +1175,11 @@ def run_stage2_sweep(
                     f"t={times[s]:.2f}s"
                 )
         completed.update(int(i) for i in idxs)
+        # release this class's device buffers (the warped-seg batch alone is
+        # ~2 GB at L2R scale) BEFORE the next class's programs execute —
+        # holding them across the rebind doubled the live set and runtime-
+        # OOM'd the 100-setting protocol at the grid_sp_adam=1 classes
+        out = dice_g = js_g = nf_g = sw_g = hd_dev = ov_dev = None  # noqa: F841
         if ck is not None:
             ck.save(dict(dice=dice, jstd=jstd, hd95=hd, times=times,
                          completed=np.array(sorted(completed), np.int64)))

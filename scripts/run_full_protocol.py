@@ -34,6 +34,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--settings1", type=int, default=100)
     ap.add_argument("--settings2", type=int, default=75)
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="directory for orbax sweep checkpoints (both stages); with "
+        "--resume a crashed run continues, skipping completed batches "
+        "(per-setting times stay honest; total minutes then span runs)",
+    )
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
     from convexadam_tpu.utils.cache import enable_compilation_cache
@@ -55,8 +62,16 @@ def main():
     s1 = stage1_settings(args.settings1)
     s2 = stage2_settings(args.settings2)
 
+    ck1 = ck2 = None
+    if args.checkpoint:
+        ck1 = args.checkpoint + "/stage1"
+        ck2 = args.checkpoint + "/stage2"
+
     t0 = time.time()
-    res1 = run_stage1_sweep(segs, segs, pairs, s1, num_labels=L, verbose=True)
+    res1 = run_stage1_sweep(
+        segs, segs, pairs, s1, num_labels=L, verbose=True,
+        checkpoint_path=ck1, resume=args.resume,
+    )
     t1 = time.time()
     best1 = s1[res1.best]
     print(
@@ -76,7 +91,8 @@ def main():
     )
 
     res2 = run_stage2_sweep(
-        segs, segs, pairs, best1, s2, num_labels=L, verbose=True
+        segs, segs, pairs, best1, s2, num_labels=L, verbose=True,
+        checkpoint_path=ck2, resume=args.resume,
     )
     t2 = time.time()
     print(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Optional, Sequence  # noqa: F401 (Sequence used in annotations)
 
@@ -570,6 +571,10 @@ def _compile_ahead(make_fn, chunks, completed, example_args):
     calls ``fut.result()``, so compile errors surface exactly where the
     inline compile would raise) or None when disabled.
 
+    ``example_args`` may be a callable ``key -> args tuple`` when classes
+    compile for different input shapes (stage 2 chunks the pair axis of
+    its heaviest classes — see ``run_stage2_sweep``'s ``pair_chunk``).
+
     ``CONVEXADAM_COMPILE_WORKERS``: 0 disables (inline compiles), 1
     (default) pipelines compiles behind execution, >1 additionally issues
     that many remote compiles concurrently.
@@ -586,9 +591,10 @@ def _compile_ahead(make_fn, chunks, completed, example_args):
     if workers <= 0 or len(keys) <= 1:
         return None
     ex = ThreadPoolExecutor(max_workers=workers)
+    ea = example_args if callable(example_args) else (lambda _k: example_args)
     futs = {
         key: ex.submit(
-            lambda k=key: make_fn(*k).lower(*example_args).compile()
+            lambda k=key: make_fn(*k).lower(*ea(k)).compile()
         )
         for key in keys
     }
@@ -968,6 +974,7 @@ def run_stage2_sweep(
     resume: bool = False,
     hd95_mode: "str | None" = None,
     feat_dtype: str = "auto",
+    pair_chunk: Optional[int] = None,
 ) -> SweepResult:
     """Stage-2 semantic sweep: cache best-convex fields (pass A), then sweep
     Adam settings x 16 evaluation variants (pass B), rank over the flattened
@@ -976,6 +983,20 @@ def run_stage2_sweep(
     ``feat_dtype``: Adam feature precision, "auto" (bf16 on TPU — the
     production policy AND a capacity requirement for the grid_sp_adam=1
     classes, see :func:`_stage2_pair`) / "float32" / "bfloat16".
+
+    ``pair_chunk``: single-device pair-axis execution chunk.  The unmeshed
+    engine runs pairs sequentially inside one XLA program (``lax.map``);
+    at full resolution (grid_sp_adam=1, 192x160x256) that one program
+    executes for ~10+ minutes and the axon TPU worker deterministically
+    crashes part-way (observed round 5: 1- and 2-pair programs complete in
+    ~75 s/pair, the 8-pair program kills the worker every run).  Chunking
+    splits the pair axis into host-level calls of at most ``pair_chunk``
+    pairs — equivalent results (pairs are independent; XLA's
+    shape-dependent fusion choices differ at the ~1e-5 rounding level),
+    bounded per-execution device time.  None (default): grid_sp_adam==1 classes
+    run at chunk 2, everything else unchunked; override globally with the
+    CONVEXADAM_STAGE2_PAIR_CHUNK env var.  Ignored when ``mesh`` shards
+    the pair axis.
 
     Like :func:`run_stage1_sweep`, a (setting, pair) ``mesh`` fans the sweep
     out across devices: settings sharing the (grid_sp_adam, avg_n) shape key
@@ -1098,12 +1119,37 @@ def run_stage2_sweep(
         lambda st: (st.grid_sp_adam, st.effective_avg_n),
         setting_batch,
     )
-    futs = _compile_ahead(
-        make_fn, chunks, completed,
-        (pf_d, pm_d, sf_d, sm_d, disps_lr,
-         np.float32(convex_setting.nn_mult),
-         _mg(np.zeros(setting_batch, np.float32), set_sh)),
-    )
+
+    if pair_chunk is None:
+        env_pc = os.environ.get("CONVEXADAM_STAGE2_PAIR_CHUNK")
+        pair_chunk = int(env_pc) if env_pc else None
+
+    def _pc_for(key) -> int:
+        """Pair-axis execution chunk for a shape class (``pair_chunk``)."""
+        if mesh is not None:
+            return P_pad
+        if pair_chunk is not None:
+            return max(1, min(P, pair_chunk))
+        return 2 if key[0] == 1 else P  # key[0] == grid_sp_adam
+
+    def _example_args(key):
+        pc = _pc_for(key)
+        if mesh is not None or pc >= P:
+            return (pf_d, pm_d, sf_d, sm_d, disps_lr,
+                    np.float32(convex_setting.nn_mult),
+                    _mg(np.zeros(setting_batch, np.float32), set_sh))
+        # chunked classes AOT-compile for the chunk's pair count; shape
+        # structs keep the compile-ahead workers chipless
+        f32 = np.dtype(np.float32)
+
+        def sds(x):
+            return jax.ShapeDtypeStruct((pc,) + x.shape[1:], x.dtype)
+
+        return (sds(pf_d), sds(pm_d), sds(sf_d), sds(sm_d), sds(disps_lr),
+                jax.ShapeDtypeStruct((), f32),
+                jax.ShapeDtypeStruct((setting_batch,), f32))
+
+    futs = _compile_ahead(make_fn, chunks, completed, _example_args)
     for key, idxs in chunks:
         if completed.issuperset(idxs):
             continue  # resume: this batch is already in the checkpoint
@@ -1115,36 +1161,87 @@ def run_stage2_sweep(
             np.array([adam_settings[i].lambda_weight for i in idxs], np.float32),
             setting_batch,
         )
+        mult = np.float32(convex_setting.nn_mult)
+        lws_g = _mg(lws, set_sh)
+        pc = _pc_for(key)
         t0 = time.time()
-        out = compiled[key](
-            pf_d, pm_d, sf_d, sm_d,
-            disps_lr, np.float32(convex_setting.nn_mult),
-            _mg(lws, set_sh),
-        )
-        hd_batch = sw = ov = sw_g = None
-        if compute_hd95:
-            dice_g, js_g, nf_g, sw_g = out
-            if hd95_fn is not None:
-                # (G, P, 4, 4) per-case label-mean HD95, on device; padded
-                # setting rows dropped so the rescore never duplicates work
-                hd_dev, ov_dev = hd95_fn(gt_sharded, sw_g, hd95_sides)
-                hd_batch = np.asarray(hd_dev)[: len(idxs), :P].copy()
-                ov = np.asarray(ov_dev)[: len(idxs), :P]
-            else:
-                sw = np.asarray(sw_g)[:, :P]  # (G, P, 4, 4, H, W, D)
+        if mesh is not None or pc >= P:
+            spans = [(0, P_pad)]  # one full program (meshed / light class)
         else:
-            dice_g, js_g, nf_g = out
-        dg = np.asarray(dice_g)[:, :P]  # (G, P, 4, 4, L)
-        jg = np.asarray(js_g)[:, :P]
-        ng = np.asarray(nf_g)[:, :P]
+            spans = [(i0, min(P, i0 + pc)) for i0 in range(0, P, pc)]
+        parts = []   # per-chunk host pieces: (dg, jg, ng, hd, ov, sw)
+        pend = []    # overflow chunks held on device for the exact rescore
+        jfn = None   # jit fallback for a ragged final chunk (P % pc != 0)
+        for i0, i1 in spans:
+            nv = min(i1, P) - i0  # valid (non-padded) pairs in this chunk
+            full = i0 == 0 and i1 >= P
+            if full:
+                a = (pf_d, pm_d, sf_d, sm_d, disps_lr)
+                gt_c, sides_c = gt_sharded, hd95_sides
+            else:
+                a = tuple(x[i0:i1] for x in (pf_d, pm_d, sf_d, sm_d, disps_lr))
+                gt_c = gt_sharded[i0:i1] if gt_sharded is not None else None
+                sides_c = (
+                    jax.tree_util.tree_map(lambda x: x[i0:i1], hd95_sides)
+                    if hd95_sides is not None
+                    else None
+                )
+            if full or i1 - i0 == pc:
+                fn = compiled[key]
+            else:
+                jfn = jfn if jfn is not None else make_fn(*key)
+                fn = jfn  # jit re-specializes for the tail's pair count
+            out = fn(*a, mult, lws_g)
+            hd_c = ov_c = sw_c = None
+            if compute_hd95:
+                dice_g, js_g, nf_g, sw_g = out
+                if hd95_fn is not None:
+                    # (G, nv, 4, 4) per-case label-mean HD95, on device;
+                    # padded setting rows dropped so the rescore never
+                    # duplicates work
+                    hd_dev, ov_dev = hd95_fn(gt_c, sw_g, sides_c)
+                    hd_c = np.asarray(hd_dev)[: len(idxs), :nv].copy()
+                    ov_c = np.asarray(ov_dev)[: len(idxs), :nv]
+                    if ov_c.any():
+                        pend.append((hd_c, ov_c, sw_g, fi[i0: i0 + nv]))
+                else:
+                    sw_c = np.asarray(sw_g)[:, :nv]  # (G, nv, 4, 4, H, W, D)
+            else:
+                dice_g, js_g, nf_g = out
+            parts.append((
+                np.asarray(dice_g)[:, :nv],  # (G, nv, 4, 4, L)
+                np.asarray(js_g)[:, :nv],
+                np.asarray(nf_g)[:, :nv],
+                hd_c, ov_c, sw_c,
+            ))
+            # release this chunk's device buffers before the next executes
+            # (overflow chunks keep their warped segs alive via `pend`)
+            out = dice_g = js_g = nf_g = sw_g = None  # noqa: F841
+            hd_dev = ov_dev = gt_c = sides_c = a = None  # noqa: F841
         dt = (time.time() - t0) / len(idxs)
-        if ov is not None:
-            # outside the timed window (rare fallback, volume downloads)
+        for hd_c, ov_c, sw_g_c, fi_c in pend:
+            # outside the timed window (rare fallback, volume downloads);
+            # mutates hd_c in place BEFORE the concatenation below
             n_r, t_r = _rescore_overflows(
-                hd_batch, ov, sw_g, segs_np, fi, num_labels
+                hd_c, ov_c, sw_g_c, segs_np, fi_c, num_labels
             )
             rescored += n_r
             rescore_sec += t_r
+        pend = None
+        dg = np.concatenate([p[0] for p in parts], axis=1)
+        jg = np.concatenate([p[1] for p in parts], axis=1)
+        ng = np.concatenate([p[2] for p in parts], axis=1)
+        hd_batch = (
+            np.concatenate([p[3] for p in parts], axis=1)
+            if parts[0][3] is not None
+            else None
+        )
+        sw = (
+            np.concatenate([p[5] for p in parts], axis=1)
+            if parts[0][5] is not None
+            else None
+        )
+        parts = None
         for g, s in enumerate(idxs):
             st = adam_settings[s]
             dice[s, :, :, 0] = dg[g].mean(axis=(0, 3))
@@ -1175,11 +1272,11 @@ def run_stage2_sweep(
                     f"t={times[s]:.2f}s"
                 )
         completed.update(int(i) for i in idxs)
-        # release this class's device buffers (the warped-seg batch alone is
-        # ~2 GB at L2R scale) BEFORE the next class's programs execute —
-        # holding them across the rebind doubled the live set and runtime-
-        # OOM'd the 100-setting protocol at the grid_sp_adam=1 classes
-        out = dice_g = js_g = nf_g = sw_g = hd_dev = ov_dev = None  # noqa: F841
+        # device buffers were already released per chunk (the warped-seg
+        # batch alone is ~2 GB at L2R scale — holding it across the rebind
+        # doubled the live set and runtime-OOM'd the 100-setting protocol
+        # at the grid_sp_adam=1 classes); drop the host pieces too
+        dg = jg = ng = sw = hd_batch = None  # noqa: F841
         if ck is not None:
             ck.save(dict(dice=dice, jstd=jstd, hd95=hd, times=times,
                          completed=np.array(sorted(completed), np.int64)))

@@ -135,6 +135,35 @@ def test_stage2_sweep_end_to_end():
     assert np.isfinite(res.dice).all()
 
 
+def test_stage2_pair_chunking_matches_unchunked():
+    """``pair_chunk`` splits the unmeshed pair axis into bounded host-level
+    executions (the axon TPU worker kills ~10-minute single programs — the
+    grid_sp_adam=1 protocol classes, round 5).  The default auto rule
+    (grid_sp_adam==1 classes chunk at 2, here with a ragged final chunk:
+    3 pairs → sizes 2 + 1) must match the one-program ``lax.map`` run.
+    Pairs are mathematically independent, but XLA fuses different
+    pair-count programs differently, so equality holds to float rounding
+    (~1e-5), not bitwise — same envelope as the mesh-equality test."""
+    preds, segs = _synthetic_dataset(K=3)
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    convex = Stage1Setting(nn_mult=10, grid_sp=3, disp_hw=2)
+    adam_settings = [
+        Stage2Setting(grid_sp_adam=1, avg_n=1, lambda_weight=1.0),
+        Stage2Setting(grid_sp_adam=2, avg_n=2, lambda_weight=0.6),
+    ]
+    kw = dict(num_labels=2, hd95_mode="device")  # device engine: the
+    # chunked gt/sides slicing path must match the full-batch HD95 call
+    ref = run_stage2_sweep(
+        preds, segs, pairs, convex, adam_settings,
+        pair_chunk=len(pairs), **kw,
+    )
+    auto = run_stage2_sweep(preds, segs, pairs, convex, adam_settings, **kw)
+    np.testing.assert_allclose(auto.dice, ref.dice, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(auto.jstd, ref.jstd, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(auto.hd95, ref.hd95, rtol=2e-4, atol=1e-5)
+    assert auto.best == ref.best
+
+
 def test_sweep_sharded_over_mesh_matches_single_device():
     """The headline TPU-native claim: the sweep fans out over a
     (setting, pair) mesh (settings batched via the traced hyperparameter,
